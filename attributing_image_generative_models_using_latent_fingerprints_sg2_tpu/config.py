@@ -1,0 +1,115 @@
+"""Configuration dataclasses.
+
+The reference parses a single global argparse namespace at *import time*
+(`src/params.py:1-36`) and every layer reaches into it as a module global.
+Here config is explicit data threaded through pure functions: each subsystem
+gets a frozen dataclass, the CLI builds them from flags with the same names
+and defaults as `src/params.py:4-31`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Generator selection + architecture knobs (ref: src/params.py:4-12)."""
+
+    model: str = "sg2"  # "sg2" | "biggan"
+    img_size: int = 256
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    blur_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+    ckpt: Optional[str] = "./checkpoint/550000.pt"
+    biggan_label: str = "golden retriever"
+
+    @property
+    def style_space_dim(self) -> int:
+        return 512 if self.model == "sg2" else 128
+
+    @property
+    def n_latent(self) -> int:
+        """Number of per-layer style slots, 2*log2(size)-2 (ref src/model.py:475)."""
+        import math
+
+        return int(math.log2(self.img_size)) * 2 - 2
+
+
+@dataclasses.dataclass(frozen=True)
+class FingerprintConfig:
+    """Key embedding hyper-parameters (ref: src/params.py:14-24).
+
+    - ``key_len``: binary key length (number of low-variance axes used).
+    - ``shift``: first principal-component index of the key carrier;
+      V = pc[shift : shift+key_len] (ref src/generator.py:212-215).
+    - ``sigma``: fixed per-axis perturbation strength, overriding the
+      empirical sigma of the key axes (ref src/main.py:36, generator.py:216).
+    - ``sd_moved``: scalar multiplier c in wx = w0 + c V^T S k
+      (ref src/params.py:14, generator.py:89).
+    - ``n_pca_samples``: latents drawn for PCA (ref src/PCA.py:15).
+    """
+
+    key_len: int = 64
+    shift: int = 448
+    sigma: float = 1.0
+    sd_moved: float = 1.0
+    n_pca_samples: int = 10000
+
+    def num_main_pc(self, style_space_dim: int) -> int:
+        return style_space_dim - self.key_len
+
+
+@dataclasses.dataclass(frozen=True)
+class AttributionConfig:
+    """Inversion solver settings (ref: src/params.py:13-20, src/main.py:42-89)."""
+
+    steps: int = 2000
+    n_starts: int = 20  # Latin-Hypercube restarts, ref --n
+    lr: float = 0.2
+    lr_decay: float = 0.001  # lr * exp(-decay * (i+1)), ref src/main.py:42-43
+    bound_weight: float = 0.1  # weight of the alpha-bound penalty, ref src/main.py:65
+    loss: str = "perceptual"  # "perceptual" | "mse" (ref src/utils.py:44-50)
+    log_every: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class AttackConfig:
+    """Robustness attack settings (ref: src/params.py:27-31)."""
+
+    augmentation: str = "None"  # None | Noise | Blur | Jpeg | Combination
+    jpeg_quality: int = 50
+    noise_sigma: float = 0.1
+    blur_sigma: float = 0.5
+    blur_filter_size: int = 25  # eval-mode filter size, ref Gaussian_blur.py:16-20
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Top-level run settings: batching, output, precision, parallelism."""
+
+    sample_size: int = 100
+    batch_size: int = 1
+    save_dir: str = "./result/"
+    seed: int = 0
+    # TPU-specific knobs (no reference equivalent):
+    dtype: str = "float32"  # compute dtype for synthesis ("float32"|"bfloat16")
+    remat: bool = False  # jax.checkpoint over synthesis blocks
+    mesh_data: int = 1  # data-parallel mesh axis (samples x starts)
+    mesh_model: int = 1  # model-parallel mesh axis (channel sharding)
+    use_pallas: bool = False  # use Pallas upfirdn2d kernel where applicable
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    fingerprint: FingerprintConfig = FingerprintConfig()
+    attribution: AttributionConfig = AttributionConfig()
+    attack: AttackConfig = AttackConfig()
+    run: RunConfig = RunConfig()
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
