@@ -1,0 +1,586 @@
+"""StyleGAN2 generator + discriminator in pure functional JAX (NHWC).
+
+Re-design of the reference PyTorch model (/root/reference/src/model.py) for
+TPU:
+
+- **NHWC layout** everywhere: channels ride the TPU lane dimension (128
+  wide), so the 512/256/128-channel feature maps tile the MXU/VPU directly.
+- **Batched modulated convolution without grouped convs.**  The reference
+  reshapes the batch into convolution groups to give every sample its own
+  modulated weight (src/model.py:265-300).  On TPU that defeats MXU
+  batching.  Since convolution is linear in both operands, input-channel
+  modulation commutes to scaling the input and output-channel
+  demodulation commutes to scaling the output:
+
+      conv(x, W * s_i * d_o)  ==  d_o * conv(x * s_i, W)
+
+  so a single *shared-weight* conv serves the whole batch — exactly what
+  the MXU wants — with the demodulation coefficient computed in closed
+  form: d[b,o] = rsqrt( sum_i s[b,i]^2 * sum_{k,l} (scale*W[k,l,i,o])^2 + eps ).
+  (The reference's own non-fused branch, src/model.py:229-256, validates
+  this algebra; here it is the only path.)
+- **Transposed conv as dilated conv.**  The upsampling modulated conv
+  (src/model.py:269-282) becomes `lax.conv_general_dilated` with
+  `lhs_dilation=2`; upsample-layer weights are stored pre-flipped
+  spatially so the dilated convolution *is* the transposed convolution.
+- **Equalized learning rate** is applied at use-time from static shape
+  info (scale = 1/sqrt(fan_in), src/model.py:103,148,208) — weights are
+  stored raw so rosinality checkpoints map 1:1.
+- Parameters are a plain pytree of nested dicts/tuples; everything here
+  is jit/vmap/grad-compatible and free of Python-level state.
+
+Reference architecture facts mirrored exactly: channel map
+(src/model.py:418-428), blur pad arithmetic (src/model.py:191-205,
+:41-46, :62-67), mapping MLP with lr_mul=0.01 and fused-lrelu
+(src/model.py:407-416), noise injection (src/model.py:305-316), skip-sum
+ToRGB (src/model.py:369-388), style broadcast / mixing / truncation
+semantics (src/model.py:499-548), minibatch-stddev discriminator
+(src/model.py:641-699).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import ModelConfig
+from ..ops.fused_act import fused_leaky_relu
+from ..ops.upfirdn2d import make_kernel, upfirdn2d
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Static architecture helpers
+# ---------------------------------------------------------------------------
+
+
+def channel_map(channel_multiplier: int = 2) -> Dict[int, int]:
+    """Per-resolution channel counts, ref src/model.py:418-428."""
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+def n_latent(size: int) -> int:
+    return int(math.log2(size)) * 2 - 2
+
+
+def num_noise_layers(size: int) -> int:
+    return (int(math.log2(size)) - 2) * 2 + 1
+
+
+def noise_shapes(size: int) -> List[Tuple[int, int, int, int]]:
+    """NHWC noise buffer shapes, ref src/model.py:446-449."""
+    shapes = []
+    for layer_idx in range(num_noise_layers(size)):
+        res = 2 ** ((layer_idx + 5) // 2)
+        shapes.append((1, res, res, 1))
+    return shapes
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (pure functions over param dicts)
+# ---------------------------------------------------------------------------
+
+
+def pixel_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """x / rms(x) over the feature axis, ref src/model.py:14-19."""
+    return x * lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
+def equal_linear(
+    x: jax.Array,
+    p: Params,
+    lr_mul: float = 1.0,
+    activation: bool = False,
+) -> jax.Array:
+    """Equalized-LR linear. p['weight']: [in, out] (JAX layout), p['bias']: [out].
+
+    scale = (1/sqrt(in)) * lr_mul applied at use; bias scaled by lr_mul.
+    Ref src/model.py:132-161.
+    """
+    in_dim = p["weight"].shape[0]
+    scale = (1.0 / math.sqrt(in_dim)) * lr_mul
+    out = jnp.dot(x, p["weight"] * scale)
+    bias = p.get("bias")
+    if activation:
+        return fused_leaky_relu(out, None if bias is None else bias * lr_mul)
+    if bias is not None:
+        out = out + bias * lr_mul
+    return out
+
+
+def equal_conv2d(
+    x: jax.Array,
+    p: Params,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Equalized-LR conv. p['weight']: [kh, kw, in, out]. Ref src/model.py:94-123."""
+    kh, kw, cin, _ = p["weight"].shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    out = lax.conv_general_dilated(
+        x,
+        p["weight"] * scale,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"]
+    return out
+
+
+def modulated_conv2d(
+    x: jax.Array,
+    w_latent: jax.Array,
+    p: Params,
+    *,
+    upsample: bool = False,
+    downsample: bool = False,
+    demodulate: bool = True,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Style-modulated convolution, batched via the scaling identity.
+
+    p['weight']: [kh, kw, I, O]  (upsample layers store it pre-flipped
+    spatially: the dilated conv below then equals torch's
+    conv_transpose2d(stride=2, padding=0), ref src/model.py:269-282).
+    p['mod']: EqualLinear params mapping style_dim -> I (bias_init=1,
+    ref src/model.py:215).
+
+    Math per src/model.py:258-263:
+        s      = mod(w)                              [B, I]
+        w_eff  = scale * W * s_i         (per sample)
+        d[b,o] = rsqrt(sum_{i,k,l} w_eff^2 + eps)    (if demodulate)
+        y      = d_o * conv(x * s_i, scale * W)
+    """
+    weight = p["weight"]
+    kh, kw, cin, cout = weight.shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+
+    style = equal_linear(w_latent, p["mod"])  # [B, I]
+
+    xs = x * style[:, None, None, :].astype(x.dtype)
+    w = (weight * scale).astype(x.dtype)
+
+    if upsample:
+        y = lax.conv_general_dilated(
+            xs,
+            w,
+            window_strides=(1, 1),
+            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # post-transpose blur: pad per src/model.py:191-197, gain factor^2
+        factor = 2
+        pp = (len(blur_kernel) - factor) - (kh - 1)
+        pad0 = (pp + 1) // 2 + factor - 1
+        pad1 = pp // 2 + 1
+        k = make_kernel(blur_kernel) * (factor**2)
+        y = upfirdn2d(y, k, pad=(pad0, pad1))
+    elif downsample:
+        # pre-conv blur: pad per src/model.py:199-205
+        factor = 2
+        pp = (len(blur_kernel) - factor) + (kh - 1)
+        pad0 = (pp + 1) // 2
+        pad1 = pp // 2
+        xs = upfirdn2d(xs, make_kernel(blur_kernel), pad=(pad0, pad1))
+        y = lax.conv_general_dilated(
+            xs,
+            w,
+            window_strides=(2, 2),
+            padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        pad = kh // 2
+        y = lax.conv_general_dilated(
+            xs,
+            w,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    if demodulate:
+        # sum_{k,l} (scale*W)^2 -> [I, O]; then [B,I] @ [I,O] -> [B,O]
+        w2 = jnp.sum(jnp.square(weight * scale), axis=(0, 1))
+        denom = jnp.dot(jnp.square(style), w2) + eps
+        y = y * lax.rsqrt(denom)[:, None, None, :].astype(y.dtype)
+    return y
+
+
+def styled_conv(
+    x: jax.Array,
+    w_latent: jax.Array,
+    p: Params,
+    noise: Optional[jax.Array],
+    *,
+    upsample: bool = False,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+) -> jax.Array:
+    """ModulatedConv + noise injection + fused bias/LeakyReLU.
+
+    Ref StyledConv (src/model.py:332-366) and NoiseInjection
+    (src/model.py:305-316).
+    """
+    y = modulated_conv2d(
+        x, w_latent, p, upsample=upsample, demodulate=True, blur_kernel=blur_kernel
+    )
+    if noise is not None:
+        y = y + p["noise_weight"].astype(y.dtype) * noise.astype(y.dtype)
+    return fused_leaky_relu(y, p["act_bias"].astype(y.dtype))
+
+
+def to_rgb(
+    x: jax.Array,
+    w_latent: jax.Array,
+    p: Params,
+    skip: Optional[jax.Array] = None,
+    *,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+) -> jax.Array:
+    """1x1 modulated conv (no demod) + bias + upsampled skip sum.
+
+    Ref ToRGB (src/model.py:369-388); skip upsample pad per Upsample
+    (src/model.py:41-46).
+    """
+    y = modulated_conv2d(x, w_latent, p, demodulate=False)
+    y = y + p["bias"].astype(y.dtype)
+    if skip is not None:
+        k = make_kernel(blur_kernel) * 4.0
+        pp = k.shape[0] - 2
+        pad0 = (pp + 1) // 2 + 1
+        pad1 = pp // 2
+        skip = upfirdn2d(skip, k, up=2, pad=(pad0, pad1))
+        y = y + skip
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Mapping network & synthesis
+# ---------------------------------------------------------------------------
+
+
+def mapping_network(params: Params, z: jax.Array, lr_mlp: float = 0.01) -> jax.Array:
+    """z -> w: PixelNorm then n_mlp EqualLinear+fused-lrelu layers.
+
+    Ref src/model.py:407-416 (the reference's ``g_ema.style``).
+    """
+    x = pixel_norm(z)
+    for layer in params["style"]:
+        x = equal_linear(x, layer, lr_mul=lr_mlp, activation=True)
+    return x
+
+
+def synthesis(
+    params: Params,
+    latent: jax.Array,
+    noise: Optional[Sequence[Optional[jax.Array]]],
+    *,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+    remat: bool = False,
+) -> jax.Array:
+    """W+ -> image. latent: [B, n_latent, style_dim]. Returns [B, H, W, 3].
+
+    Ref synthesis loop src/model.py:551-566.
+    """
+    n_layers = 1 + 2 * len(params["to_rgbs"])
+    if noise is None:
+        noise = [None] * n_layers
+
+    batch = latent.shape[0]
+    const = params["input"]
+    out = jnp.broadcast_to(const, (batch,) + const.shape[1:]).astype(latent.dtype)
+
+    out = styled_conv(out, latent[:, 0], params["conv1"], noise[0], blur_kernel=blur_kernel)
+    skip = to_rgb(out, latent[:, 1], params["to_rgb1"], None, blur_kernel=blur_kernel)
+
+    def block(out, skip, lat_a, lat_b, lat_rgb, n1, n2, p_up, p_conv, p_rgb):
+        out = styled_conv(out, lat_a, p_up, n1, upsample=True, blur_kernel=blur_kernel)
+        out = styled_conv(out, lat_b, p_conv, n2, blur_kernel=blur_kernel)
+        skip = to_rgb(out, lat_rgb, p_rgb, skip, blur_kernel=blur_kernel)
+        return out, skip
+
+    if remat:
+        block = jax.checkpoint(block, static_argnums=())
+
+    i = 1
+    for idx in range(len(params["to_rgbs"])):
+        out, skip = block(
+            out,
+            skip,
+            latent[:, i],
+            latent[:, i + 1],
+            latent[:, i + 2],
+            noise[1 + 2 * idx],
+            noise[2 + 2 * idx],
+            params["convs"][2 * idx],
+            params["convs"][2 * idx + 1],
+            params["to_rgbs"][idx],
+        )
+        i += 2
+    return skip
+
+
+def prepare_latent(
+    params: Params,
+    styles: Sequence[jax.Array],
+    cfg: ModelConfig,
+    *,
+    input_is_latent: bool = False,
+    inject_index: Optional[int] = None,
+    truncation: float = 1.0,
+    truncation_latent: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Broadcast / mix / truncate styles into a [B, n_latent, D] tensor.
+
+    Mirrors the style handling of the reference forward
+    (src/model.py:511-548), including its quirk that truncation only
+    applies when the inputs are z (not w).
+    """
+    nl = n_latent(cfg.img_size)
+    if not input_is_latent:
+        styles = [mapping_network(params, s, cfg.lr_mlp) for s in styles]
+        if truncation < 1:
+            assert truncation_latent is not None
+            styles = [
+                truncation_latent + truncation * (s - truncation_latent)
+                for s in styles
+            ]
+
+    if len(styles) < 2:
+        s = styles[0]
+        if s.ndim < 3:
+            latent = jnp.repeat(s[:, None, :], nl, axis=1)
+        else:
+            latent = s
+    else:
+        if inject_index is None:
+            inject_index = nl - 2
+        l1 = jnp.repeat(styles[0][:, None, :], inject_index, axis=1)
+        l2 = jnp.repeat(styles[1][:, None, :], nl - inject_index, axis=1)
+        latent = jnp.concatenate([l1, l2], axis=1)
+    return latent
+
+
+def generate(
+    params: Params,
+    styles: Sequence[jax.Array],
+    cfg: ModelConfig,
+    *,
+    noise: Optional[Sequence[Optional[jax.Array]]] = None,
+    input_is_latent: bool = False,
+    inject_index: Optional[int] = None,
+    truncation: float = 1.0,
+    truncation_latent: Optional[jax.Array] = None,
+    fixed_noise: bool = False,
+    return_latents: bool = False,
+    remat: bool = False,
+):
+    """Full generator forward, contract per ref src/model.py:499-572."""
+    latent = prepare_latent(
+        params,
+        styles,
+        cfg,
+        input_is_latent=input_is_latent,
+        inject_index=inject_index,
+        truncation=truncation,
+        truncation_latent=truncation_latent,
+    )
+    if noise is None and fixed_noise:
+        noise = params["noises"]
+    img = synthesis(params, latent, noise, blur_kernel=cfg.blur_kernel, remat=remat)
+    if return_latents:
+        return img, latent
+    return img, None
+
+
+def mean_latent(params: Params, key: jax.Array, n: int, cfg: ModelConfig) -> jax.Array:
+    """Mean w over n random z, ref src/model.py:488-494."""
+    z = jax.random.normal(key, (n, cfg.style_dim))
+    return jnp.mean(mapping_network(params, z, cfg.lr_mlp), axis=0, keepdims=True)
+
+
+def make_noise(key: jax.Array, size: int) -> List[jax.Array]:
+    """Fresh per-layer noise maps [1,res,res,1], ref src/model.py:477-486."""
+    keys = jax.random.split(key, num_noise_layers(size))
+    return [
+        jax.random.normal(k, shape) for k, shape in zip(keys, noise_shapes(size))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights, same distributions as reference ctor)
+# ---------------------------------------------------------------------------
+
+
+def _init_equal_linear(key, in_dim, out_dim, lr_mul=1.0, bias_init=0.0) -> Params:
+    # torch: weight = randn(out,in)/lr_mul (src/model.py:138); ours [in,out].
+    return {
+        "weight": jax.random.normal(key, (in_dim, out_dim)) / lr_mul,
+        "bias": jnp.full((out_dim,), float(bias_init)),
+    }
+
+
+def _init_mod_conv(key, in_ch, out_ch, k, style_dim) -> Params:
+    kw, km = jax.random.split(key)
+    return {
+        "weight": jax.random.normal(kw, (k, k, in_ch, out_ch)),
+        "mod": _init_equal_linear(km, style_dim, in_ch, bias_init=1.0),
+    }
+
+
+def _init_styled_conv(key, in_ch, out_ch, k, style_dim) -> Params:
+    p = _init_mod_conv(key, in_ch, out_ch, k, style_dim)
+    p["noise_weight"] = jnp.zeros(())
+    p["act_bias"] = jnp.zeros((out_ch,))
+    return p
+
+
+def _init_to_rgb(key, in_ch, style_dim) -> Params:
+    p = _init_mod_conv(key, in_ch, 3, 1, style_dim)
+    p["bias"] = jnp.zeros((3,))
+    return p
+
+
+def init_generator_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Random-init generator pytree (distributions per reference ctor)."""
+    chans = channel_map(cfg.channel_multiplier)
+    log_size = int(math.log2(cfg.img_size))
+    keys = iter(jax.random.split(key, 4 * (log_size * 2) + 16))
+
+    style = tuple(
+        _init_equal_linear(next(keys), cfg.style_dim, cfg.style_dim, lr_mul=cfg.lr_mlp)
+        for _ in range(cfg.n_mlp)
+    )
+    params: Params = {
+        "style": style,
+        "input": jax.random.normal(next(keys), (1, 4, 4, chans[4])),
+        "conv1": _init_styled_conv(next(keys), chans[4], chans[4], 3, cfg.style_dim),
+        "to_rgb1": _init_to_rgb(next(keys), chans[4], cfg.style_dim),
+    }
+    convs = []
+    to_rgbs = []
+    in_ch = chans[4]
+    for i in range(3, log_size + 1):
+        out_ch = chans[2**i]
+        convs.append(_init_styled_conv(next(keys), in_ch, out_ch, 3, cfg.style_dim))
+        convs.append(_init_styled_conv(next(keys), out_ch, out_ch, 3, cfg.style_dim))
+        to_rgbs.append(_init_to_rgb(next(keys), out_ch, cfg.style_dim))
+        in_ch = out_ch
+    params["convs"] = tuple(convs)
+    params["to_rgbs"] = tuple(to_rgbs)
+    params["noises"] = tuple(
+        jax.random.normal(next(keys), s) for s in noise_shapes(cfg.img_size)
+    )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (unused by the pipelines, kept for parity; ref src/model.py:641-699)
+# ---------------------------------------------------------------------------
+
+
+def conv_layer(
+    x: jax.Array,
+    p: Params,
+    *,
+    downsample: bool = False,
+    activate: bool = True,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+) -> jax.Array:
+    """Blur(+stride-2) equalized conv + optional fused lrelu, ref src/model.py:575-617."""
+    kh = p["weight"].shape[0]
+    if downsample:
+        factor = 2
+        pp = (len(blur_kernel) - factor) + (kh - 1)
+        x = upfirdn2d(x, make_kernel(blur_kernel), pad=((pp + 1) // 2, pp // 2))
+        out = equal_conv2d(x, {"weight": p["weight"], "bias": None}, stride=2, padding=0)
+    else:
+        out = equal_conv2d(x, {"weight": p["weight"], "bias": None}, stride=1, padding=kh // 2)
+    if activate:
+        out = fused_leaky_relu(out, p.get("act_bias"))
+    elif p.get("bias") is not None:
+        out = out + p["bias"]
+    return out
+
+
+def res_block(x: jax.Array, p: Params, blur_kernel=(1, 3, 3, 1)) -> jax.Array:
+    """Ref src/model.py:620-638."""
+    out = conv_layer(x, p["conv1"], blur_kernel=blur_kernel)
+    out = conv_layer(out, p["conv2"], downsample=True, blur_kernel=blur_kernel)
+    skip = conv_layer(x, p["skip"], downsample=True, activate=False, blur_kernel=blur_kernel)
+    return (out + skip) / math.sqrt(2.0)
+
+
+def minibatch_stddev(x: jax.Array, group_size: int = 4, eps: float = 1e-8) -> jax.Array:
+    """Append per-group stddev feature map, ref src/model.py:684-692."""
+    b, h, w, c = x.shape
+    group = min(b, group_size)
+    y = x.reshape(group, -1, h, w, c)
+    var = jnp.var(y, axis=0)
+    std = jnp.sqrt(var + eps)
+    std = jnp.mean(std, axis=(1, 2, 3), keepdims=True)  # [b//group,1,1,1]
+    std = jnp.tile(std, (group, h, w, 1))
+    return jnp.concatenate([x, std], axis=-1)
+
+
+def discriminator_apply(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Full discriminator forward, ref src/model.py:681-699."""
+    out = conv_layer(x, params["from_rgb"])
+    for rb in params["blocks"]:
+        out = res_block(out, rb, cfg.blur_kernel)
+    out = minibatch_stddev(out)
+    out = conv_layer(out, params["final_conv"])
+    out = out.reshape(out.shape[0], -1)
+    out = equal_linear(out, params["final_linear0"], activation=True)
+    return equal_linear(out, params["final_linear1"])
+
+
+def init_discriminator_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    chans = channel_map(cfg.channel_multiplier)
+    log_size = int(math.log2(cfg.img_size))
+    keys = iter(jax.random.split(key, 4 * log_size + 8))
+
+    def conv_p(k, cin, cout, ksize, activate=True):
+        p = {"weight": jax.random.normal(k, (ksize, ksize, cin, cout))}
+        if activate:
+            p["act_bias"] = jnp.zeros((cout,))
+        return p
+
+    params: Params = {"from_rgb": conv_p(next(keys), 3, chans[cfg.img_size], 1)}
+    blocks = []
+    in_ch = chans[cfg.img_size]
+    for i in range(log_size, 2, -1):
+        out_ch = chans[2 ** (i - 1)]
+        blocks.append(
+            {
+                "conv1": conv_p(next(keys), in_ch, in_ch, 3),
+                "conv2": conv_p(next(keys), in_ch, out_ch, 3),
+                "skip": conv_p(next(keys), in_ch, out_ch, 1, activate=False),
+            }
+        )
+        in_ch = out_ch
+    params["blocks"] = tuple(blocks)
+    params["final_conv"] = conv_p(next(keys), in_ch + 1, chans[4], 3)
+    params["final_linear0"] = _init_equal_linear(next(keys), chans[4] * 4 * 4, chans[4])
+    params["final_linear1"] = _init_equal_linear(next(keys), chans[4], 1)
+    return params
