@@ -1,0 +1,226 @@
+"""LPIPS perceptual distance in pure JAX (NHWC).
+
+Re-implementation of the reference's vendored ``custom_lpips`` stack
+(/root/reference/src/custom_lpips/):
+
+- input scaling layer (shift/scale constants,
+  networks_basic.py ScalingLayer),
+- VGG16 feature slices relu1_2 / relu2_2 / relu3_3 / relu4_3 / relu5_3
+  (pretrained_networks.py vgg16: features[0:4], [4:9], [9:16], [16:23],
+  [23:30]),
+- per-channel unit normalization (eps added to the norm),
+- squared differences -> 1x1 linear heads -> spatial mean -> sum over the
+  5 layers (networks_basic.py PNetLin.forward:63-91).
+
+TPU-first design choices:
+
+- **Feature caching**: the distance factors into
+  ``extract_features(x)`` (two VGG16 forwards in the reference, *every*
+  optimization step, dist_model.py:109-117) and a cheap comparison head.
+  The attribution solver extracts target features once per sample and
+  reuses them for all steps x restarts --- halving VGG compute.
+- Per-sample outputs [B] (the reference returns [B,1,1,1] and sums across
+  a DataParallel wrapper); batch elements stay independent so vmapped
+  restarts don't mix.
+
+Weights: the linear-head weights load from the reference's small
+``vgg.pth`` blob when available (``load_lin_weights_torch``); the VGG16
+backbone converts from a torchvision-format state dict
+(``vgg16_params_from_torch_state_dict``).  This environment has no
+torchvision download, so ``init_lpips_params`` falls back to a
+deterministic random backbone: still a valid perceptual metric family
+(random-feature LPIPS) and the documented degraded mode for tests/bench.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# VGG16 "features" conv plan: channel widths per conv, "M" = 2x2 maxpool.
+VGG16_PLAN: Tuple[Any, ...] = (
+    64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512
+)
+# After which conv (0-based index into the conv list) each LPIPS slice ends.
+SLICE_END_CONV = (1, 3, 6, 9, 12)  # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+# ScalingLayer constants, ref networks_basic.py (ScalingLayer buffers).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+def _maxpool2(x: jax.Array) -> jax.Array:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List[jax.Array]:
+    """x: [B,H,W,3] (already scaled) -> 5 post-ReLU feature maps."""
+    feats = []
+    conv_i = 0
+    slice_ends = set(SLICE_END_CONV)
+    for item in VGG16_PLAN:
+        if item == "M":
+            x = _maxpool2(x)
+        else:
+            p = params[conv_i]
+            x = jax.nn.relu(_conv3x3(x, p["weight"], p["bias"]))
+            if conv_i in slice_ends:
+                feats.append(x)
+            conv_i += 1
+    return feats
+
+
+def scaling_layer(x: jax.Array) -> jax.Array:
+    """(x - shift) / scale on [-1,1] RGB input, channels last."""
+    return (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+
+
+def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """Unit-normalize over channels; eps added to the norm (lpips util)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
+    return f / (norm + eps)
+
+
+def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
+    """[-1,1] NHWC image -> list of 5 channel-normalized feature maps."""
+    feats = vgg16_features(params["vgg"], scaling_layer(img))
+    return [normalize_feat(f) for f in feats]
+
+
+def distance_from_features(
+    params: Dict[str, Any],
+    feats0: Sequence[jax.Array],
+    feats1: Sequence[jax.Array],
+) -> jax.Array:
+    """Per-sample LPIPS distance [B] from pre-normalized features."""
+    total = None
+    for f0, f1, lin_w in zip(feats0, feats1, params["lin"]):
+        diff2 = jnp.square(f0 - f1)  # [B,H,W,C]
+        # 1x1 conv head == channel-weighted sum; then spatial mean.
+        d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(1, 2))  # [B]
+        total = d if total is None else total + d
+    return total
+
+
+def lpips(params: Dict[str, Any], img0: jax.Array, img1: jax.Array) -> jax.Array:
+    """Per-sample LPIPS distance between two [-1,1] NHWC batches -> [B]."""
+    return distance_from_features(
+        params, extract_features(params, img0), extract_features(params, img1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction / conversion
+# ---------------------------------------------------------------------------
+
+
+def init_lpips_params(key: jax.Array, seed_scale: float = 1.0) -> Dict[str, Any]:
+    """Random-backbone LPIPS (He-init convs, uniform lin heads).
+
+    Degraded-but-valid mode when no pretrained VGG16 weights are on disk;
+    exact parity requires ``vgg16_params_from_torch_state_dict`` +
+    ``load_lin_weights_torch``.
+    """
+    vgg = []
+    cin = 3
+    keys = jax.random.split(key, len([c for c in VGG16_PLAN if c != "M"]) + 1)
+    ki = 0
+    for item in VGG16_PLAN:
+        if item == "M":
+            continue
+        cout = int(item)
+        fan_in = cin * 9
+        w = jax.random.normal(keys[ki], (3, 3, cin, cout)) * seed_scale * math.sqrt(2.0 / fan_in)
+        vgg.append({"weight": w, "bias": jnp.zeros((cout,))})
+        cin = cout
+        ki += 1
+    lin = tuple(jnp.ones((c,)) / c for c in LPIPS_CHANNELS)
+    return {"vgg": tuple(vgg), "lin": lin}
+
+
+def vgg16_params_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, np.ndarray], ...]:
+    """torchvision vgg16 ``features.{i}.weight`` [O,I,3,3] -> HWIO pytree."""
+    conv_layer_indices = []
+    i = 0
+    for item in VGG16_PLAN:
+        if item == "M":
+            i += 1  # pool layer occupies one slot
+        else:
+            conv_layer_indices.append(i)
+            i += 2  # conv + relu
+    vgg = []
+    for li in conv_layer_indices:
+        w = np.asarray(sd[f"features.{li}.weight"], np.float32)
+        b = np.asarray(sd[f"features.{li}.bias"], np.float32)
+        vgg.append({"weight": np.transpose(w, (2, 3, 1, 0)).copy(), "bias": b})
+    return tuple(vgg)
+
+
+def lin_weights_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[np.ndarray, ...]:
+    """Reference lin-head blob (custom_lpips/weights/v0.1/vgg.pth): keys
+    ``lin{k}.model.1.weight`` with shape [1, C, 1, 1] -> [C] vectors."""
+    lins = []
+    for k in range(5):
+        w = np.asarray(sd[f"lin{k}.model.1.weight"], np.float32).reshape(-1)
+        lins.append(w)
+    return tuple(lins)
+
+
+def load_lin_weights_torch(path: str) -> Tuple[np.ndarray, ...]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return lin_weights_from_torch_state_dict(
+        {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+
+def load_vgg_backbone_torch(path: str) -> Tuple[Dict[str, np.ndarray], ...]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return vgg16_params_from_torch_state_dict(
+        {k: np.asarray(v.detach().float().numpy()) for k, v in sd.items()}
+    )
+
+
+def build_lpips_params(
+    key: jax.Array,
+    vgg_path: str | None = None,
+    lin_path: str | None = None,
+) -> Dict[str, Any]:
+    """Assemble LPIPS params, loading pretrained pieces where available."""
+    params = init_lpips_params(key)
+    if vgg_path is not None:
+        params = dict(params, vgg=jax.tree.map(jnp.asarray, load_vgg_backbone_torch(vgg_path)))
+    if lin_path is not None:
+        params = dict(
+            params, lin=tuple(jnp.asarray(w) for w in load_lin_weights_torch(lin_path))
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# MSE alternative (ref src/utils.py:44-50 loss_func="mse")
+# ---------------------------------------------------------------------------
+
+
+def mse_per_sample(img0: jax.Array, img1: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(img0 - img1), axis=(1, 2, 3))
