@@ -138,7 +138,7 @@ def generator_params_from_state_dict(
 
 
 def _validate_shapes(params: Dict[str, Any], cfg: ModelConfig) -> None:
-    chans = channel_map(cfg.channel_multiplier)
+    chans = channel_map(cfg.channel_multiplier, cfg.channel_max)
     log_size = int(math.log2(cfg.img_size))
     c4 = chans[4]
     assert params["input"].shape == (1, 4, 4, c4), params["input"].shape

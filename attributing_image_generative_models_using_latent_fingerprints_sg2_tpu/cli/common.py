@@ -1,0 +1,117 @@
+"""Shared CLI flag surface.
+
+Flag names, defaults and semantics mirror the reference's
+``src/params.py:4-31`` so existing invocations port verbatim --- but
+parsing happens *here*, at entry-point call time, not at import time of a
+globals module (the reference parses sys.argv whenever any module imports
+``params``, src/params.py:35).  Extra TPU-specific flags are namespaced
+and documented.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import (
+    AttackConfig,
+    AttributionConfig,
+    Config,
+    FingerprintConfig,
+    ModelConfig,
+    RunConfig,
+)
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--model", type=str, default="sg2", help="GAN model: sg2 | biggan")
+    p.add_argument("--biggan_label", type=str, default="golden retriever",
+                   help="BigGAN label to generate image")
+    p.add_argument("--ckpt", type=str, default="./checkpoint/550000.pt",
+                   help="path to the model checkpoint (rosinality .pt)")
+    p.add_argument("--gpu_id", type=int, default=0,
+                   help="accepted for reference-CLI compatibility; device selection is JAX's")
+    # model parameters
+    p.add_argument("--img_size", type=int, default=256, help="generator output size")
+    p.add_argument("--sample_size", type=int, default=100, help="number of samples / tests")
+    p.add_argument("--sd", type=int, default=1, help="standard deviations moved (c)")
+    p.add_argument("--steps", type=int, default=2000, help="optimization steps")
+    p.add_argument("--batch_size", type=int, default=1, help="generation batch size")
+    p.add_argument("--n", type=int, default=20, help="Latin hypercube restarts")
+    p.add_argument("--key_len", type=int, default=64, help="binary key length")
+    p.add_argument("--save_dir", type=str, default="./result/", help="output directory")
+    p.add_argument("--lr", type=float, default=0.2, help="attribution learning rate")
+    # experiment setting
+    p.add_argument("--shift", type=int, default=448, help="first PC of the key carrier")
+    p.add_argument("--sigma", type=float, default=1.0, help="perturb strength")
+    # robustness
+    p.add_argument("--augmentation", type=str, default="None",
+                   help="attack: None | Noise | Blur | Jpeg | Combination")
+    p.add_argument("--jpeg_quality", type=int, default=50)
+    p.add_argument("--noise_sigma", type=float, default=0.1)
+    p.add_argument("--blur_sigma", type=float, default=0.5)
+    # TPU-native extras (no reference equivalent)
+    p.add_argument("--seed", type=int, default=0, help="global PRNG seed")
+    p.add_argument("--loss", type=str, default="perceptual", help="perceptual | mse")
+    p.add_argument("--dtype", type=str, default="float32", help="float32 | bfloat16")
+    p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-mesh size (0 = all visible devices)")
+    p.add_argument("--random_init", action="store_true",
+                   help="random generator weights instead of --ckpt (for smoke runs)")
+    p.add_argument("--lpips_vgg", type=str, default=None,
+                   help="path to a torchvision-format VGG16 state dict for exact LPIPS")
+    p.add_argument("--lpips_lin", type=str, default=None,
+                   help="path to LPIPS linear-head weights (vgg.pth)")
+    p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp",
+                   help="persistent XLA compilation cache dir ('' disables)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(
+        model=ModelConfig(
+            model=args.model,
+            img_size=args.img_size,
+            ckpt=None if args.random_init else args.ckpt,
+            biggan_label=args.biggan_label,
+        ),
+        fingerprint=FingerprintConfig(
+            key_len=args.key_len,
+            shift=args.shift,
+            sigma=args.sigma,
+            sd_moved=float(args.sd),
+        ),
+        attribution=AttributionConfig(
+            steps=args.steps,
+            n_starts=args.n,
+            lr=args.lr,
+            loss=args.loss,
+        ),
+        attack=AttackConfig(
+            augmentation=args.augmentation,
+            jpeg_quality=args.jpeg_quality,
+            noise_sigma=args.noise_sigma,
+            blur_sigma=args.blur_sigma,
+        ),
+        run=RunConfig(
+            sample_size=args.sample_size,
+            batch_size=args.batch_size,
+            save_dir=args.save_dir,
+            seed=args.seed,
+            dtype=args.dtype,
+            remat=args.remat,
+            mesh_data=args.mesh_data,
+        ),
+    )
+
+
+def setup_compile_cache(path: str) -> None:
+    """Persistent XLA compile cache --- TPU compiles through the remote
+    tunnel are slow (20-400s observed); caching makes reruns instant."""
+    if not path:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

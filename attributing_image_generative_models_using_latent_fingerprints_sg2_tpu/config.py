@@ -22,6 +22,7 @@ class ModelConfig:
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    channel_max: int = 512  # cap on per-resolution channels (512 = reference; lower for tests)
     blur_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     ckpt: Optional[str] = "./checkpoint/550000.pt"
@@ -29,7 +30,9 @@ class ModelConfig:
 
     @property
     def style_space_dim(self) -> int:
-        return 512 if self.model == "sg2" else 128
+        """Latent dimensionality: w-space for sg2 (ref src/generator.py:43),
+        BigGAN's truncated-noise dim 128 (ref src/generator.py:58)."""
+        return self.style_dim if self.model == "sg2" else 128
 
     @property
     def n_latent(self) -> int:

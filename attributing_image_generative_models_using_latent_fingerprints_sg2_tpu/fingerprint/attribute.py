@@ -1,0 +1,216 @@
+"""Gradient-based attribution: invert an image back to (alpha, key).
+
+The reference solves, per test image and per Latin-Hypercube restart,
+
+    min_{alpha, key}  LPIPS(target, G(w(alpha, sigmoid(key)))) + 0.1 * bound(alpha)
+
+with Adam and an exponentially decayed LR, serially: a python loop over
+``n`` restarts around a python loop over ``steps``, each step a separate
+forward+backward (/root/reference/src/main.py:45-89).  Default workload:
+100 samples x 20 restarts x 2000 steps = 4M generator fwd+bwd passes, one
+at a time, plus *two* VGG16 forwards per step (the target's features are
+recomputed every step, dist_model.py:109-117).
+
+TPU re-design — the entire solver is ONE compiled program:
+
+- all ``S`` samples and all ``n`` restarts are flattened into a single
+  generator batch of B = S*n latents (Adam is elementwise, so one update
+  over [B, ...] tensors IS B independent Adam chains);
+- the optimization loop is a ``lax.fori_loop`` on device --- zero host
+  round trips;
+- target VGG features are extracted ONCE per sample and broadcast over
+  restarts (halves VGG compute vs the reference);
+- the loss reduces per-element, so gradients never mix restarts;
+- samples shard over the device mesh ('data' axis); restarts can also
+  shard.  No collectives are needed until the final per-sample argmin.
+
+LR schedule: lr * exp(-decay * (i+1)) at step i (ref src/main.py:42-43,67).
+Restart init: centered Latin Hypercube over [-sigma, sigma]^d
+(ref src/main.py:46-52); key logits start at 0 (ref src/utils.py:19-21).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import AttributionConfig, ModelConfig
+from ..losses import lpips as lpips_mod
+from ..models import stylegan2 as sg2
+from ..utils.lhs import lhs_alpha_init_batch
+from .embed import FingerprintBasis, alpha_bound_penalty, bit_accuracy, content_latent, key_offset
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AttributionResult:
+    """Per-sample solver output (best restart already selected)."""
+
+    alpha: jax.Array  # [S, D-K]
+    key_logits: jax.Array  # [S, K]
+    key_bits: jax.Array  # [S, K] in {0,1}
+    loss: jax.Array  # [S] best final loss
+    losses_all: jax.Array  # [S, n] final loss of every restart
+    best_start: jax.Array  # [S] argmin restart index
+
+
+def _make_optimizer(acfg: AttributionConfig) -> optax.GradientTransformation:
+    def lr_schedule(count):
+        return acfg.lr * jnp.exp(-acfg.lr_decay * (count + 1.0))
+
+    # adam(b1=0.9, b2=0.999, eps=1e-8) matches torch.optim.Adam defaults
+    # (ref src/main.py:56); eps outside the sqrt in both.
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_schedule(lr_schedule),
+        optax.scale(-1.0),
+    )
+
+
+def make_attribution_step(
+    gen_params,
+    lpips_params,
+    basis: FingerprintBasis,
+    noise,
+    mcfg: ModelConfig,
+    acfg: AttributionConfig,
+    target_feats,
+    targets,
+    optimizer: optax.GradientTransformation,
+    remat: bool = False,
+) -> Callable:
+    """Build the fused (loss+grad+update) step for flattened [S, n] restarts.
+
+    ``target_feats``: tuple of [S, 1, h, w, c] normalized VGG features
+    (perceptual mode) or None; ``targets``: [S, 1, H, W, 3] images (mse
+    mode) or None.
+    """
+    nl = sg2.n_latent(mcfg.img_size)
+
+    def per_elem_loss(opt_params) -> jax.Array:
+        alpha, key_logits = opt_params["alpha"], opt_params["key"]  # [S,n,*]
+        s_, n_ = alpha.shape[0], alpha.shape[1]
+        k = jax.nn.sigmoid(key_logits)
+        w0 = content_latent(basis, alpha.reshape(s_ * n_, -1))
+        wx = w0 + key_offset(basis, k.reshape(s_ * n_, -1))
+        wplus = jnp.repeat(wx[:, None, :], nl, axis=1)
+        imgs = sg2.synthesis(
+            gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel, remat=remat
+        )  # [S*n, H, W, 3]
+        if acfg.loss == "perceptual":
+            feats = lpips_mod.extract_features(lpips_params, imgs)
+            feats = [f.reshape((s_, n_) + f.shape[1:]) for f in feats]
+            per = lpips_mod.distance_from_features(lpips_params, target_feats, feats)
+        else:
+            d = imgs.reshape((s_, n_) + imgs.shape[1:]) - targets
+            per = jnp.mean(jnp.square(d), axis=(-3, -2, -1))
+        bound = alpha_bound_penalty(basis, alpha)  # [S, n]
+        return per + acfg.bound_weight * bound
+
+    def total_loss(opt_params):
+        per = per_elem_loss(opt_params)
+        return jnp.sum(per), per
+
+    grad_fn = jax.grad(total_loss, has_aux=True)
+
+    def step(carry, _):
+        opt_params, opt_state = carry
+        grads, per = grad_fn(opt_params)
+        updates, opt_state = optimizer.update(grads, opt_state, opt_params)
+        opt_params = optax.apply_updates(opt_params, updates)
+        return (opt_params, opt_state), per
+
+    return step
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "acfg", "n_starts", "steps", "remat"),
+)
+def attribute(
+    gen_params,
+    lpips_params,
+    basis: FingerprintBasis,
+    noise,
+    targets: jax.Array,  # [S, H, W, 3] in [-1, 1]
+    rng: jax.Array,
+    *,
+    mcfg: ModelConfig,
+    acfg: AttributionConfig,
+    n_starts: Optional[int] = None,
+    steps: Optional[int] = None,
+    remat: bool = False,
+) -> AttributionResult:
+    """Solve attribution for a batch of target images in one XLA program.
+
+    Equivalent of ``optimization()`` (/root/reference/src/main.py:45-89)
+    over all samples at once.
+    """
+    n_starts = acfg.n_starts if n_starts is None else n_starts
+    steps = acfg.steps if steps is None else steps
+    s_ = targets.shape[0]
+
+    # --- restart initialization -------------------------------------------
+    alpha0 = lhs_alpha_init_batch(rng, s_, n_starts, basis.sigma_rest)  # [S,n,D-K]
+    key0 = jnp.zeros((s_, n_starts, basis.v_cap.shape[0]))
+    opt_params = {"alpha": alpha0, "key": key0}
+
+    # --- target features (once per sample) --------------------------------
+    if acfg.loss == "perceptual":
+        tf = lpips_mod.extract_features(lpips_params, targets)
+        target_feats = tuple(f[:, None] for f in tf)  # [S,1,h,w,c]
+        tgt = None
+    else:
+        target_feats = None
+        tgt = targets[:, None]  # [S,1,H,W,3]
+
+    optimizer = _make_optimizer(acfg)
+    opt_state = optimizer.init(opt_params)
+    step = make_attribution_step(
+        gen_params, lpips_params, basis, noise, mcfg, acfg,
+        target_feats, tgt, optimizer, remat=remat,
+    )
+
+    (opt_params, _), per = jax.lax.scan(
+        step, (opt_params, opt_state), None, length=steps
+    )
+    final_per = per[-1]  # [S, n] last-step per-element loss (pre-update,
+    # matching the reference which records loss before the final update's
+    # effect is observed, src/main.py:79)
+
+    best = jnp.argmin(final_per, axis=1)  # [S]
+    take = lambda x: jnp.take_along_axis(
+        x, best[:, None, None], axis=1
+    ).squeeze(1)
+    alpha_best = take(opt_params["alpha"])
+    key_best = take(opt_params["key"])
+    bits = jnp.round(jax.nn.sigmoid(key_best))
+    return AttributionResult(
+        alpha=alpha_best,
+        key_logits=key_best,
+        key_bits=bits,
+        loss=jnp.min(final_per, axis=1),
+        losses_all=final_per,
+        best_start=best,
+    )
+
+
+def evaluate_attribution(
+    result: AttributionResult, true_keys: jax.Array
+) -> Dict[str, Any]:
+    """Bit accuracy + exact-match attribution accuracy
+    (ref src/main.py:72,146-148)."""
+    acc = bit_accuracy(result.key_bits, true_keys)  # [S]
+    exact = (acc >= 1.0).astype(jnp.float32)
+    return {
+        "bit_acc": acc,
+        "mean_bit_acc": jnp.mean(acc),
+        "attribution_acc": jnp.mean(exact),
+        "exact": exact,
+    }

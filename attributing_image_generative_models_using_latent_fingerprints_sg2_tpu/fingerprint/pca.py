@@ -61,7 +61,6 @@ def pca_from_samples(samples: jax.Array) -> PCABasis:
     return PCABasis(pc=pc, sigma=sigma, mean=mean)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
 def perform_pca(
     key: jax.Array,
     mapping_fn: Callable[[jax.Array], jax.Array],
@@ -70,11 +69,33 @@ def perform_pca(
 ) -> PCABasis:
     """Sample z ~ N(0, I), push through the mapping network, PCA the w's.
 
-    Ref: src/PCA.py:66-74 (the sg2 branch).  ``mapping_fn`` is typically
-    ``lambda z: mapping_network(params, z)`` closed over generator params.
+    Ref: src/PCA.py:66-74 (the sg2 branch).  NOTE: not jitted here ---
+    ``mapping_fn`` typically closes over generator params, and jitting with
+    a static callable would bake those params in as compile-time constants
+    (pathological XLA compile).  Use ``perform_pca_for_params`` for the
+    jitted path with params as a traced argument.
     """
     z = jax.random.normal(key, (n_samples, dim))
     w = mapping_fn(z)
+    return pca_from_samples(w)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def perform_pca_for_params(
+    params,
+    key: jax.Array,
+    mapping_apply: Callable,
+    n_samples: int = 10000,
+    dim: int = 512,
+) -> PCABasis:
+    """Jitted PCA with params traced: ``mapping_apply(params, z) -> w``.
+
+    One compiled program: 10k-latent mapping (batched matmuls on the MXU)
+    + covariance + eigh, all on device --- vs the reference's
+    GPU->CPU->sklearn round trip (src/PCA.py:70-71).
+    """
+    z = jax.random.normal(key, (n_samples, dim))
+    w = mapping_apply(params, z)
     return pca_from_samples(w)
 
 

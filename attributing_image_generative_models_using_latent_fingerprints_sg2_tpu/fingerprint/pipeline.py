@@ -1,0 +1,183 @@
+"""High-level fingerprinting pipeline: the TPU equivalent of the
+reference's ``GetGen`` (/root/reference/src/generator.py:18-198) ---
+minus its structural quirks: the reference builds the Generator and runs
+the 10k-sample PCA once per *class instance*, so `main.py` loads the
+checkpoint three times and runs PCA twice (src/generator.py:49-52,37-38,
+src/PCA.py:39-42, SURVEY.md section 1).  Here everything is built exactly
+once into an immutable bundle of device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..attacks import AttackFn, apply_attack, make_attack
+from ..config import AttackConfig, Config, FingerprintConfig, ModelConfig
+from ..losses import lpips as lpips_mod
+from ..models import stylegan2 as sg2
+from .embed import (
+    FingerprintBasis,
+    build_basis,
+    embed,
+    sample_alpha,
+    sample_key_bits,
+)
+from .pca import PCABasis, perform_pca_for_params
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """Immutable bundle: generator weights + fingerprint basis + noise."""
+
+    mcfg: ModelConfig
+    fpcfg: FingerprintConfig
+    gen_params: Any
+    basis: FingerprintBasis
+    pca: PCABasis
+    noise: Tuple[jax.Array, ...]
+    lpips_params: Optional[Any] = None
+    attack: Optional[AttackFn] = None
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _mapping_fn_for(lr_mlp: float) -> Callable:
+    """Stable (cached) callable per lr_mlp so jit's static-arg cache hits."""
+
+    def apply(params, z):
+        return sg2.mapping_network(params, z, lr_mlp)
+
+    return apply
+
+
+def build_pipeline(
+    key: jax.Array,
+    mcfg: ModelConfig,
+    fpcfg: FingerprintConfig,
+    attack_cfg: Optional[AttackConfig] = None,
+    gen_params: Any = None,
+    ckpt_path: Optional[str] = None,
+    lpips_params: Any = None,
+    want_lpips: bool = True,
+) -> Pipeline:
+    """Load/initialize the generator, run device-side PCA, slice the basis,
+    draw the fixed synthesis noise (ref src/utils.py:128-138 --- here all
+    noise derives from one PRNG key instead of the reference's mix of
+    seeded and unseeded host RNG), and prepare attacks/LPIPS."""
+    k_init, k_pca, k_noise, k_lpips = jax.random.split(key, 4)
+
+    if gen_params is None:
+        if ckpt_path is not None:
+            from ..checkpoints.rosinality import load_generator
+
+            gen_params = jax.tree.map(jnp.asarray, load_generator(ckpt_path, mcfg))
+        else:
+            gen_params = sg2.init_generator_params(k_init, mcfg)
+
+    pca = perform_pca_for_params(
+        gen_params,
+        k_pca,
+        _mapping_fn_for(mcfg.lr_mlp),
+        fpcfg.n_pca_samples,
+        mcfg.style_space_dim,
+    )
+    basis = build_basis(pca, fpcfg)
+    noise = tuple(sg2.make_noise(k_noise, mcfg.img_size))
+
+    if lpips_params is None and want_lpips:
+        lpips_params = lpips_mod.init_lpips_params(k_lpips)
+
+    attack = None
+    if attack_cfg is not None:
+        attack = make_attack(attack_cfg, is_train=False)
+
+    return Pipeline(
+        mcfg=mcfg,
+        fpcfg=fpcfg,
+        gen_params=gen_params,
+        basis=basis,
+        pca=pca,
+        noise=noise,
+        lpips_params=lpips_params,
+        attack=attack,
+    )
+
+
+@partial(jax.jit, static_argnames=("mcfg", "batch", "key_len"))
+def _generate_core(
+    gen_params,
+    basis: FingerprintBasis,
+    noise,
+    rng: jax.Array,
+    *,
+    mcfg: ModelConfig,
+    batch: int,
+    key_len: int,
+):
+    k_alpha, k_bits = jax.random.split(rng)
+    alpha = sample_alpha(k_alpha, basis, batch)
+    bits = sample_key_bits(k_bits, key_len, batch)
+    w0, wx = embed(basis, alpha, bits)
+    imgs, _ = sg2.generate(
+        gen_params, [wx], mcfg, input_is_latent=True, noise=noise
+    )
+    return imgs, w0, wx, bits, alpha
+
+
+def generate_fingerprinted(
+    pipe: Pipeline, rng: jax.Array, batch: int = 1
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(imgs, w0, wx, key_bits, alpha): random content + random key.
+
+    Ref ``generate_with_alpha`` (src/generator.py:69-107) with the random
+    alpha draw of src/main.py:122 folded in.
+    """
+    return _generate_core(
+        pipe.gen_params,
+        pipe.basis,
+        pipe.noise,
+        rng,
+        mcfg=pipe.mcfg,
+        batch=batch,
+        key_len=pipe.fpcfg.key_len,
+    )
+
+
+@partial(jax.jit, static_argnames=("mcfg",))
+def _synthesize_core(gen_params, noise, w, *, mcfg: ModelConfig):
+    imgs, _ = sg2.generate(gen_params, [w], mcfg, input_is_latent=True, noise=noise)
+    return imgs
+
+
+def synthesize(pipe: Pipeline, w: jax.Array) -> jax.Array:
+    """Image for an explicit latent w [B, D] with the pipeline's fixed
+    noise.  Ref ``generate_image`` (src/generator.py:170-183)."""
+    return _synthesize_core(pipe.gen_params, pipe.noise, w, mcfg=pipe.mcfg)
+
+
+def augment(pipe: Pipeline, imgs: jax.Array, rng: Optional[jax.Array] = None) -> jax.Array:
+    """Apply the configured eval-mode attack (identity if none).
+    Ref ``GetGen.augmentation`` (src/generator.py:163-168)."""
+    return apply_attack(pipe.attack, imgs, rng)
+
+
+def generate_with_latent(
+    pipe: Pipeline, rng: jax.Array, latent_w: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fingerprint an *arbitrary* w: project onto the content subspace,
+    then add the key offset.  Ref ``generate_with_latent``
+    (src/generator.py:114-146)."""
+    from .embed import key_offset, project_latent
+
+    bits = sample_key_bits(rng, pipe.fpcfg.key_len, latent_w.shape[0])
+    w0 = project_latent(pipe.basis, latent_w)
+    wx = w0 + key_offset(pipe.basis, bits)
+    imgs = synthesize(pipe, wx)
+    return imgs, w0, wx, bits

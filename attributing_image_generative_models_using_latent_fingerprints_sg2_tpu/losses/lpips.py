@@ -110,9 +110,9 @@ def distance_from_features(
     """Per-sample LPIPS distance [B] from pre-normalized features."""
     total = None
     for f0, f1, lin_w in zip(feats0, feats1, params["lin"]):
-        diff2 = jnp.square(f0 - f1)  # [B,H,W,C]
+        diff2 = jnp.square(f0 - f1)  # [..., H, W, C]; leading dims broadcast
         # 1x1 conv head == channel-weighted sum; then spatial mean.
-        d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(1, 2))  # [B]
+        d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(-2, -1))  # [...]
         total = d if total is None else total + d
     return total
 

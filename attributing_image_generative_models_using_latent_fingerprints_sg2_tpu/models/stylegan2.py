@@ -60,9 +60,12 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def channel_map(channel_multiplier: int = 2) -> Dict[int, int]:
-    """Per-resolution channel counts, ref src/model.py:418-428."""
-    return {
+def channel_map(channel_multiplier: int = 2, channel_max: int = 512) -> Dict[int, int]:
+    """Per-resolution channel counts, ref src/model.py:418-428.
+
+    ``channel_max`` caps every entry (512 reproduces the reference; lower
+    values give cheap test-scale models)."""
+    base = {
         4: 512,
         8: 512,
         16: 512,
@@ -73,6 +76,7 @@ def channel_map(channel_multiplier: int = 2) -> Dict[int, int]:
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    return {k: min(v, channel_max) for k, v in base.items()}
 
 
 def n_latent(size: int) -> int:
@@ -463,7 +467,7 @@ def _init_to_rgb(key, in_ch, style_dim) -> Params:
 
 def init_generator_params(key: jax.Array, cfg: ModelConfig) -> Params:
     """Random-init generator pytree (distributions per reference ctor)."""
-    chans = channel_map(cfg.channel_multiplier)
+    chans = channel_map(cfg.channel_multiplier, cfg.channel_max)
     log_size = int(math.log2(cfg.img_size))
     keys = iter(jax.random.split(key, 4 * (log_size * 2) + 16))
 
@@ -556,7 +560,7 @@ def discriminator_apply(params: Params, x: jax.Array, cfg: ModelConfig) -> jax.A
 
 
 def init_discriminator_params(key: jax.Array, cfg: ModelConfig) -> Params:
-    chans = channel_map(cfg.channel_multiplier)
+    chans = channel_map(cfg.channel_multiplier, cfg.channel_max)
     log_size = int(math.log2(cfg.img_size))
     keys = iter(jax.random.split(key, 4 * log_size + 8))
 

@@ -1,0 +1,68 @@
+"""ctypes binding to the native C++ image I/O library (native/io.cpp).
+
+The reference's result storage funnels every image through PIL on the
+Python heap (src/utils.py:85-125).  Here the hot host-side path ---
+RGB8 -> PNG encode -> disk --- is a small C++ library using libpng,
+loaded via ctypes (no pybind11 in this image).  Falls back cleanly when
+the shared object hasn't been built (build with `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(here), "native", "libfpio.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.fpio_write_png.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.fpio_write_png.restype = ctypes.c_int
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def write_png(path: str, arr: np.ndarray) -> None:
+    """arr: [H, W, 3] or [H, W] uint8."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native io library not built (make -C native)")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    rc = lib.fpio_write_png(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, c
+    )
+    if rc != 0:
+        raise IOError(f"fpio_write_png failed with code {rc} for {path}")

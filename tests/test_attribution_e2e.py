@@ -1,0 +1,134 @@
+"""End-to-end attribution tests: embed a key, invert it back, check bits.
+
+This is the reference's own self-validating test strategy (SURVEY.md
+section 4: "attribution *is* the test", src/main.py:118-148) at a scale a
+CPU test can afford: a small random generator (style_dim=64, channels<=64)
+so the 56-dim content space is invertible in a few hundred steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+    AttributionConfig,
+    FingerprintConfig,
+    ModelConfig,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+    attribute as attr,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+    pipeline as pl,
+)
+
+MCFG = ModelConfig(img_size=32, channel_max=64, n_mlp=3, style_dim=64)
+FPCFG = FingerprintConfig(key_len=8, shift=56, sigma=1.0, sd_moved=1.0, n_pca_samples=2000)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG, want_lpips=False)
+
+
+@pytest.fixture(scope="module")
+def solved(pipe):
+    acfg = AttributionConfig(steps=300, n_starts=4, lr=0.2, loss="mse")
+    imgs, w0, wx, bits, alpha = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(1), 3)
+    res = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(2), mcfg=MCFG, acfg=acfg,
+    )
+    return res, bits
+
+
+def test_generation_consistency(pipe):
+    """Same rng -> identical fingerprinted images; different rng -> different."""
+    a = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(5), 2)
+    b = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(5), 2)
+    c = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(6), 2)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 1e-3
+
+
+def test_exact_latents_reproduce_target(pipe):
+    """Zero reconstruction error at the true (alpha, key) --- the loss
+    surface's global optimum is the planted fingerprint."""
+    imgs, w0, wx, bits, alpha = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(7), 2)
+    re = pl.synthesize(pipe, wx)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(imgs), atol=1e-4)
+
+
+def test_attribution_recovers_keys(solved):
+    res, bits = solved
+    ev = attr.evaluate_attribution(res, bits)
+    accs = np.asarray(ev["bit_acc"])
+    assert accs.shape == (3,)
+    assert float(ev["mean_bit_acc"]) > 0.85, accs
+    assert (accs == 1.0).sum() >= 2  # most samples exactly attributed
+    assert float(ev["attribution_acc"]) >= 2 / 3
+
+
+def test_attribution_losses_converge(solved):
+    res, _ = solved
+    # at least the exact recoveries drive the loss to ~0
+    assert np.sort(np.asarray(res.loss))[:2].max() < 5e-3
+    assert res.losses_all.shape == (3, 4)
+    # best_start consistent with losses_all
+    np.testing.assert_array_equal(
+        np.asarray(res.best_start), np.argmin(np.asarray(res.losses_all), axis=1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.min(np.asarray(res.losses_all), axis=1)
+    )
+
+
+def test_attribution_perceptual_path_runs(pipe):
+    """Perceptual (LPIPS) loss path compiles and steps (random backbone)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses.lpips import (
+        init_lpips_params,
+    )
+
+    lp = init_lpips_params(jax.random.PRNGKey(9))
+    acfg = AttributionConfig(steps=3, n_starts=2, lr=0.2, loss="perceptual")
+    imgs, *_ , bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(8), 2)
+    res = attr.attribute(
+        pipe.gen_params, lp, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(3), mcfg=MCFG, acfg=acfg,
+    )
+    assert np.isfinite(np.asarray(res.loss)).all()
+    assert res.key_bits.shape == (2, 8)
+
+
+def test_attribution_under_noise_attack(pipe):
+    """Robustness smoke: mild additive noise, solver still beats chance.
+
+    Note: the real Noise attack clamps to [-1,1] (Gaussian_noise.py:40),
+    which is benign for trained generators but catastrophic for this
+    random-init test model whose outputs span +-5; perturb unclamped here.
+    """
+    acfg = AttributionConfig(steps=300, n_starts=4, lr=0.2, loss="mse")
+    imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(1), 3)
+    targets = imgs + 0.05 * jax.random.normal(jax.random.PRNGKey(11), imgs.shape)
+    res = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, targets,
+        jax.random.PRNGKey(12), mcfg=MCFG, acfg=acfg,
+    )
+    ev = attr.evaluate_attribution(res, bits)
+    assert float(ev["mean_bit_acc"]) > 0.7
+
+
+def test_evaluate_attribution_math():
+    res = attr.AttributionResult(
+        alpha=jnp.zeros((2, 4)),
+        key_logits=jnp.zeros((2, 3)),
+        key_bits=jnp.asarray([[1.0, 0.0, 1.0], [1.0, 1.0, 1.0]]),
+        loss=jnp.zeros((2,)),
+        losses_all=jnp.zeros((2, 1)),
+        best_start=jnp.zeros((2,), jnp.int32),
+    )
+    true = jnp.asarray([[1.0, 0.0, 1.0], [0.0, 1.0, 1.0]])
+    ev = attr.evaluate_attribution(res, true)
+    np.testing.assert_allclose(np.asarray(ev["bit_acc"]), [1.0, 2 / 3])
+    assert float(ev["attribution_acc"]) == 0.5

@@ -30,7 +30,7 @@ RNG = np.random.default_rng(7)
 
 def make_rosinality_state_dict(cfg: ModelConfig) -> dict:
     """Synthetic g_ema state dict with rosinality naming and torch layouts."""
-    chans = sg2.channel_map(cfg.channel_multiplier)
+    chans = sg2.channel_map(cfg.channel_multiplier, cfg.channel_max)
     log_size = int(math.log2(cfg.img_size))
     sd = {}
     for i in range(1, cfg.n_mlp + 1):
