@@ -84,6 +84,7 @@ def make_attribution_step(
     targets,
     optimizer: optax.GradientTransformation,
     remat: bool = False,
+    dtype: jnp.dtype = jnp.float32,
 ) -> Callable:
     """Build the fused (loss+grad+update) step for flattened [S, n] restarts.
 
@@ -99,16 +100,17 @@ def make_attribution_step(
         k = jax.nn.sigmoid(key_logits)
         w0 = content_latent(basis, alpha.reshape(s_ * n_, -1))
         wx = w0 + key_offset(basis, k.reshape(s_ * n_, -1))
-        wplus = jnp.repeat(wx[:, None, :], nl, axis=1)
+        wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(dtype)
         imgs = sg2.synthesis(
             gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel, remat=remat
-        )  # [S*n, H, W, 3]
+        )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state and
+        # loss accumulation stay f32, synthesis/VGG ride the MXU in `dtype`)
         if acfg.loss == "perceptual":
             feats = lpips_mod.extract_features(lpips_params, imgs)
             feats = [f.reshape((s_, n_) + f.shape[1:]) for f in feats]
             per = lpips_mod.distance_from_features(lpips_params, target_feats, feats)
         else:
-            d = imgs.reshape((s_, n_) + imgs.shape[1:]) - targets
+            d = imgs.astype(jnp.float32).reshape((s_, n_) + imgs.shape[1:]) - targets
             per = jnp.mean(jnp.square(d), axis=(-3, -2, -1))
         bound = alpha_bound_penalty(basis, alpha)  # [S, n]
         return per + acfg.bound_weight * bound
@@ -131,7 +133,7 @@ def make_attribution_step(
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "acfg", "n_starts", "steps", "remat"),
+    static_argnames=("mcfg", "acfg", "n_starts", "steps", "remat", "dtype"),
 )
 def attribute(
     gen_params,
@@ -146,6 +148,7 @@ def attribute(
     n_starts: Optional[int] = None,
     steps: Optional[int] = None,
     remat: bool = False,
+    dtype: str = "float32",
 ) -> AttributionResult:
     """Solve attribution for a batch of target images in one XLA program.
 
@@ -154,6 +157,7 @@ def attribute(
     """
     n_starts = acfg.n_starts if n_starts is None else n_starts
     steps = acfg.steps if steps is None else steps
+    cdtype = jnp.dtype(dtype)
     s_ = targets.shape[0]
 
     # --- restart initialization -------------------------------------------
@@ -163,18 +167,18 @@ def attribute(
 
     # --- target features (once per sample) --------------------------------
     if acfg.loss == "perceptual":
-        tf = lpips_mod.extract_features(lpips_params, targets)
+        tf = lpips_mod.extract_features(lpips_params, targets.astype(cdtype))
         target_feats = tuple(f[:, None] for f in tf)  # [S,1,h,w,c]
         tgt = None
     else:
         target_feats = None
-        tgt = targets[:, None]  # [S,1,H,W,3]
+        tgt = targets.astype(jnp.float32)[:, None]  # [S,1,H,W,3]
 
     optimizer = _make_optimizer(acfg)
     opt_state = optimizer.init(opt_params)
     step = make_attribution_step(
         gen_params, lpips_params, basis, noise, mcfg, acfg,
-        target_feats, tgt, optimizer, remat=remat,
+        target_feats, tgt, optimizer, remat=remat, dtype=cdtype,
     )
 
     (opt_params, _), per = jax.lax.scan(

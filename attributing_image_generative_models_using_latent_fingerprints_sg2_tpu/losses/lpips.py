@@ -57,9 +57,10 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     y = lax.conv_general_dilated(
-        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y + b
+    return y + b.astype(y.dtype)
 
 
 def _maxpool2(x: jax.Array) -> jax.Array:
@@ -87,13 +88,15 @@ def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List
 
 def scaling_layer(x: jax.Array) -> jax.Array:
     """(x - shift) / scale on [-1,1] RGB input, channels last."""
-    return (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+    return (x - jnp.asarray(_SHIFT, x.dtype)) / jnp.asarray(_SCALE, x.dtype)
 
 
 def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
-    """Unit-normalize over channels; eps added to the norm (lpips util)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
-    return f / (norm + eps)
+    """Unit-normalize over channels; eps added to the norm (lpips util).
+    The norm accumulates in f32 regardless of the feature dtype."""
+    sq = jnp.sum(jnp.square(f.astype(jnp.float32)), axis=-1, keepdims=True)
+    norm = jnp.sqrt(sq)
+    return (f.astype(jnp.float32) / (norm + eps)).astype(f.dtype)
 
 
 def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
@@ -110,7 +113,8 @@ def distance_from_features(
     """Per-sample LPIPS distance [B] from pre-normalized features."""
     total = None
     for f0, f1, lin_w in zip(feats0, feats1, params["lin"]):
-        diff2 = jnp.square(f0 - f1)  # [..., H, W, C]; leading dims broadcast
+        # diff/square/accumulate in f32 even for bf16 features
+        diff2 = jnp.square(f0.astype(jnp.float32) - f1.astype(jnp.float32))
         # 1x1 conv head == channel-weighted sum; then spatial mean.
         d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(-2, -1))  # [...]
         total = d if total is None else total + d

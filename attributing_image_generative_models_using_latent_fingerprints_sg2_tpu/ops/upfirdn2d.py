@@ -124,6 +124,52 @@ def _upfirdn1d(
     )
 
 
+# --- optional Pallas backend ------------------------------------------------
+# Covers the hot per-layer specializations (4x4 separable blur and the
+# polyphase 2x upsample-blur); everything else stays on the XLA path.
+_PALLAS_ENABLED = False
+
+
+def enable_pallas(on: bool = True) -> None:
+    """Route eligible upfirdn2d calls through the Pallas TPU kernels."""
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(on)
+
+
+def pallas_enabled() -> bool:
+    return _PALLAS_ENABLED
+
+
+def _try_pallas(x, kernel_np, up, down, pads):
+    from . import upfirdn2d_pallas as pk
+
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_x0, pad_x1, pad_y0, pad_y1 = pads
+    if down != (1, 1) or kernel_np.shape != (4, 4) or x.ndim != 4:
+        return None
+    if min(pad_x0, pad_x1, pad_y0, pad_y1) < 0:
+        return None
+    if x.shape[3] % 128:
+        return None  # DMA slab lane dim must be 128-aligned (Mosaic tiling)
+    k1d = pk.split_symmetric_4tap(kernel_np)
+    if k1d is None:
+        return None
+    if up == (1, 1):
+        out_h = x.shape[1] + pad_y0 + pad_y1 - 3
+        out_w = x.shape[2] + pad_x0 + pad_x1 - 3
+        # Mosaic wants the output width sublane-aligned; realistic synthesis
+        # shapes (powers of two >= 8) all qualify.
+        if out_h < 8 or out_w < 8 or out_h % 8 or out_w % 8:
+            return None
+        return pk.blur4(x, k1d, k1d, (pad_y0, pad_y1), (pad_x0, pad_x1))
+    if up == (2, 2) and pads == (2, 1, 2, 1):
+        if x.shape[1] < 8 or x.shape[2] < 8 or x.shape[1] % 4 or x.shape[2] % 4:
+            return None
+        return pk.upblur4(x, k1d)
+    return None
+
+
 def upfirdn2d(
     x: jax.Array,
     kernel,
@@ -155,6 +201,14 @@ def upfirdn2d(
     kernel_np = np.asarray(kernel, dtype=np.float32)
     if kernel_np.ndim == 1:
         kernel_np = np.outer(kernel_np, kernel_np)
+
+    if _PALLAS_ENABLED:
+        out = _try_pallas(
+            x, kernel_np, (up_y, up_x), (down_y, down_x),
+            (pad_x0, pad_x1, pad_y0, pad_y1),
+        )
+        if out is not None:
+            return out
 
     if separable is None:
         separable = _is_separable(kernel_np)

@@ -67,7 +67,7 @@ def main() -> int:
     def solve(rng):
         return attr.attribute(
             pipe.gen_params, lpips_params, pipe.basis, pipe.noise, targets, rng,
-            mcfg=mcfg, acfg=acfg,
+            mcfg=mcfg, acfg=acfg, dtype="bfloat16",
         )
 
     import numpy as np

@@ -1,0 +1,114 @@
+"""Pallas upfirdn2d kernels vs the XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops import (
+    make_kernel,
+    upfirdn2d,
+)
+import importlib
+
+# the module (ops/__init__ shadows the name with the same-named function)
+uf = importlib.import_module(
+    "attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d"
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d_pallas import (
+    blur4,
+    split_symmetric_4tap,
+    upblur4,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_split_symmetric_4tap():
+    k = make_kernel([1, 3, 3, 1])
+    k1 = split_symmetric_4tap(k)
+    assert k1 is not None
+    np.testing.assert_allclose(np.outer(k1, k1), k, rtol=1e-6)
+    k4 = make_kernel([1, 3, 3, 1]) * 4.0
+    k1 = split_symmetric_4tap(k4)
+    np.testing.assert_allclose(np.outer(k1, k1), k4, rtol=1e-6)
+    assert split_symmetric_4tap(np.eye(4, dtype=np.float32)) is None  # rank 4
+    assert split_symmetric_4tap(make_kernel([1, 2, 1])) is None  # 3x3
+
+
+@pytest.mark.parametrize("pads", [((1, 1), (1, 1)), ((2, 2), (2, 2)), ((2, 1), (2, 1))])
+def test_blur4_matches_xla(pads):
+    x = jnp.asarray(RNG.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    k1 = split_symmetric_4tap(k)
+    (py0, py1), (px0, px1) = pads
+    with pltpu.force_tpu_interpret_mode():
+        got = blur4(x, k1, k1, (py0, py1), (px0, px1))
+    want = upfirdn2d(x, k, pad=(px0, px1, py0, py1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_upblur4_matches_xla():
+    x = jnp.asarray(RNG.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1]) * 4.0
+    k1 = split_symmetric_4tap(k)
+    with pltpu.force_tpu_interpret_mode():
+        got = upblur4(x, k1)
+    want = upfirdn2d(x, k, up=2, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_dispatcher_routes_and_matches():
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    want = upfirdn2d(x, k, pad=(1, 1))
+    try:
+        uf.enable_pallas(True)
+        assert uf.pallas_enabled()
+        with pltpu.force_tpu_interpret_mode():
+            got = upfirdn2d(x, k, pad=(1, 1))
+            got_up = upfirdn2d(x, k * 4.0, up=2, pad=(2, 1))
+    finally:
+        uf.enable_pallas(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+    want_up = upfirdn2d(x, k * 4.0, up=2, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got_up), np.asarray(want_up), rtol=1e-4, atol=1e-5)
+
+
+def test_dispatcher_falls_back_on_ineligible():
+    """down=2 and negative pads must silently use the XLA path."""
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    try:
+        uf.enable_pallas(True)
+        down = upfirdn2d(x, k, down=2, pad=(2, 2))  # no interpret ctx: must not hit pallas
+        neg = upfirdn2d(x, k, pad=(-1, 1))
+    finally:
+        uf.enable_pallas(False)
+    np.testing.assert_allclose(
+        np.asarray(down), np.asarray(upfirdn2d(x, k, down=2, pad=(2, 2))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(neg), np.asarray(upfirdn2d(x, k, pad=(-1, 1))), rtol=1e-5
+    )
+
+
+def test_blur4_grad():
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    k1 = split_symmetric_4tap(make_kernel([1, 3, 3, 1]))
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda a: jnp.sum(blur4(a, k1, k1, (1, 1), (1, 1)) ** 2))(x)
+    k = make_kernel([1, 3, 3, 1])
+    g_ref = jax.grad(lambda a: jnp.sum(upfirdn2d(a, k, pad=(1, 1)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_upblur4_grad():
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1]) * 4.0
+    k1 = split_symmetric_4tap(k)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda a: jnp.sum(upblur4(a, k1) ** 2))(x)
+    g_ref = jax.grad(lambda a: jnp.sum(upfirdn2d(a, k, up=2, pad=(2, 1)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
