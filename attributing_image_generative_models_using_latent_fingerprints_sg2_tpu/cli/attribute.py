@@ -35,16 +35,33 @@ def main(argv=None) -> int:
         help="attribute in chunks of this many samples (0 = all at once); "
         "bounds peak memory at large sample_size",
     )
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="resume an interrupted run from its run dir (uses the saved "
+        "attribution_state.json; seeds and sample order are reproduced)",
+    )
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
 
-    run_dir = save_config(
-        make_run_dir(
-            cfg.run.save_dir, cfg.attack.augmentation, cfg.fingerprint.sigma, cfg.fingerprint.shift
-        ),
-        cfg,
-    )
+    from ..checkpoints.state import AttributionRunState, load_state, save_state
+
+    if args.resume:
+        run_dir = args.resume
+        state, _ = load_state(run_dir)
+        if state is None:
+            print(f"[attribute] no state in {run_dir}; starting fresh there")
+            state = AttributionRunState(seed=cfg.run.seed, config=cfg.to_dict())
+        else:
+            print(f"[attribute] resuming at sample {state.next_sample} from {run_dir}")
+    else:
+        run_dir = save_config(
+            make_run_dir(
+                cfg.run.save_dir, cfg.attack.augmentation, cfg.fingerprint.sigma, cfg.fingerprint.shift
+            ),
+            cfg,
+        )
+        state = AttributionRunState(seed=cfg.run.seed, config=cfg.to_dict())
     print(f"[attribute] run dir: {run_dir}")
 
     key = jax.random.PRNGKey(cfg.run.seed)
@@ -74,10 +91,10 @@ def main(argv=None) -> int:
 
     # --- solve -------------------------------------------------------------
     chunk = args.chunk_samples or s_total
-    bit_accs = []
-    success = 0
+    bit_accs = list(state.bit_accs)
+    success = state.success
     t_solve = time.time()
-    for c0 in range(0, s_total, chunk):
+    for c0 in range(state.next_sample, s_total, chunk):
         c1 = min(c0 + chunk, s_total)
         res = attr.attribute(
             pipe.gen_params,
@@ -102,6 +119,17 @@ def main(argv=None) -> int:
         store_results(run_dir, c0, make_image(w0_imgs), make_image(imgs[c0:c1]))
         attribution_acc = success / len(bit_accs)
         write_results(run_dir, bit_accs, attribution_acc)
+        state.next_sample = c1
+        state.bit_accs = bit_accs
+        state.success = success
+        save_state(
+            run_dir, state,
+            arrays={
+                "true_bits": np.asarray(true_bits[:c1]),
+                "recovered_bits": np.asarray(res.key_bits),
+                "losses_all": np.asarray(res.losses_all),
+            },
+        )
 
     dt = time.time() - t_solve
     total_steps = s_total * cfg.attribution.steps
