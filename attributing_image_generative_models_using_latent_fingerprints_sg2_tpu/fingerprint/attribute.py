@@ -85,6 +85,9 @@ def make_attribution_step(
     optimizer: optax.GradientTransformation,
     remat: bool = False,
     dtype: jnp.dtype = jnp.float32,
+    biggan_cfg=None,
+    class_onehot=None,
+    truncation: float = 0.4,
 ) -> Callable:
     """Build the fused (loss+grad+update) step for flattened [S, n] restarts.
 
@@ -100,11 +103,21 @@ def make_attribution_step(
         k = jax.nn.sigmoid(key_logits)
         w0 = content_latent(basis, alpha.reshape(s_ * n_, -1))
         wx = w0 + key_offset(basis, k.reshape(s_ * n_, -1))
-        wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(dtype)
-        imgs = sg2.synthesis(
-            gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel, remat=remat
-        )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state and
-        # loss accumulation stay f32, synthesis/VGG ride the MXU in `dtype`)
+        if mcfg.model == "biggan":
+            from ..models import biggan as bg
+
+            onehot = jnp.broadcast_to(
+                class_onehot, (wx.shape[0],) + class_onehot.shape[1:]
+            )
+            imgs = bg.generate(
+                gen_params, wx.astype(dtype), onehot, truncation, biggan_cfg
+            )
+        else:
+            wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(dtype)
+            imgs = sg2.synthesis(
+                gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel, remat=remat
+            )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state
+            # and loss accumulation stay f32, synthesis/VGG in `dtype`)
         if acfg.loss == "perceptual":
             feats = lpips_mod.extract_features(lpips_params, imgs)
             feats = [f.reshape((s_, n_) + f.shape[1:]) for f in feats]
@@ -133,7 +146,9 @@ def make_attribution_step(
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "acfg", "n_starts", "steps", "remat", "dtype"),
+    static_argnames=(
+        "mcfg", "acfg", "n_starts", "steps", "remat", "dtype", "biggan_cfg", "truncation",
+    ),
 )
 def attribute(
     gen_params,
@@ -149,6 +164,9 @@ def attribute(
     steps: Optional[int] = None,
     remat: bool = False,
     dtype: str = "float32",
+    biggan_cfg=None,
+    class_onehot: Optional[jax.Array] = None,
+    truncation: float = 0.4,
 ) -> AttributionResult:
     """Solve attribution for a batch of target images in one XLA program.
 
@@ -179,6 +197,7 @@ def attribute(
     step = make_attribution_step(
         gen_params, lpips_params, basis, noise, mcfg, acfg,
         target_feats, tgt, optimizer, remat=remat, dtype=cdtype,
+        biggan_cfg=biggan_cfg, class_onehot=class_onehot, truncation=truncation,
     )
 
     (opt_params, _), per = jax.lax.scan(

@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..attacks import AttackFn, apply_attack, make_attack
 from ..config import AttackConfig, Config, FingerprintConfig, ModelConfig
@@ -42,6 +43,10 @@ class Pipeline:
     noise: Tuple[jax.Array, ...]
     lpips_params: Optional[Any] = None
     attack: Optional[AttackFn] = None
+    # BigGAN extras (ref src/generator.py:58-64): class conditioning + truncation
+    biggan_cfg: Optional[Any] = None
+    class_onehot: Optional[jax.Array] = None
+    truncation: float = 0.4
 
 
 from functools import lru_cache
@@ -66,12 +71,60 @@ def build_pipeline(
     ckpt_path: Optional[str] = None,
     lpips_params: Any = None,
     want_lpips: bool = True,
+    biggan_cfg: Any = None,
+    truncation: float = 0.4,
 ) -> Pipeline:
     """Load/initialize the generator, run device-side PCA, slice the basis,
     draw the fixed synthesis noise (ref src/utils.py:128-138 --- here all
     noise derives from one PRNG key instead of the reference's mix of
-    seeded and unseeded host RNG), and prepare attacks/LPIPS."""
+    seeded and unseeded host RNG), and prepare attacks/LPIPS.
+
+    ``model == "biggan"`` follows the reference's second family
+    (src/generator.py:53-64): PCA over truncated-noise latents
+    (src/PCA.py:76-84), class conditioning from --biggan_label,
+    truncation 0.4."""
     k_init, k_pca, k_noise, k_lpips = jax.random.split(key, 4)
+
+    if mcfg.model == "biggan":
+        from ..models import biggan as bg
+        from .pca import pca_from_truncated_noise
+
+        bg_cfg = biggan_cfg or bg.BigGANConfig()
+        if gen_params is None:
+            if ckpt_path is not None:
+                import torch
+
+                sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+                sd = {k: np.asarray(v) for k, v in sd.items()}
+                gen_params = jax.tree.map(
+                    jnp.asarray, bg.params_from_torch_state_dict(sd, bg_cfg)
+                )
+            else:
+                gen_params = bg.init_biggan_params(k_init, bg_cfg)
+        pca = pca_from_truncated_noise(
+            k_pca, truncation, fpcfg.n_pca_samples, bg_cfg.z_dim
+        )
+        basis = build_basis(pca, fpcfg)
+        onehot = jnp.asarray(
+            bg.one_hot_from_name(mcfg.biggan_label, bg_cfg.num_classes, 1)
+        )
+        return Pipeline(
+            mcfg=mcfg,
+            fpcfg=fpcfg,
+            gen_params=gen_params,
+            basis=basis,
+            pca=pca,
+            noise=(),
+            lpips_params=(
+                lpips_params
+                if lpips_params is not None
+                else (lpips_mod.init_lpips_params(k_lpips) if want_lpips else None)
+            ),
+            attack=make_attack(attack_cfg, is_train=False) if attack_cfg else None,
+            biggan_cfg=bg_cfg,
+            class_onehot=onehot,
+            truncation=truncation,
+        )
 
     if gen_params is None:
         if ckpt_path is not None:
@@ -139,6 +192,13 @@ def generate_fingerprinted(
     Ref ``generate_with_alpha`` (src/generator.py:69-107) with the random
     alpha draw of src/main.py:122 folded in.
     """
+    if pipe.mcfg.model == "biggan":
+        k_alpha, k_bits = jax.random.split(rng)
+        alpha = sample_alpha(k_alpha, pipe.basis, batch)
+        bits = sample_key_bits(k_bits, pipe.fpcfg.key_len, batch)
+        w0, wx = embed(pipe.basis, alpha, bits)
+        imgs = synthesize(pipe, wx)
+        return imgs, w0, wx, bits, alpha
     return _generate_core(
         pipe.gen_params,
         pipe.basis,
@@ -158,7 +218,15 @@ def _synthesize_core(gen_params, noise, w, *, mcfg: ModelConfig):
 
 def synthesize(pipe: Pipeline, w: jax.Array) -> jax.Array:
     """Image for an explicit latent w [B, D] with the pipeline's fixed
-    noise.  Ref ``generate_image`` (src/generator.py:170-183)."""
+    noise.  Ref ``generate_image`` (src/generator.py:170-183), which
+    routes sg2 / biggan the same way."""
+    if pipe.mcfg.model == "biggan":
+        from ..models import biggan as bg
+
+        onehot = jnp.broadcast_to(
+            pipe.class_onehot, (w.shape[0],) + pipe.class_onehot.shape[1:]
+        )
+        return bg.generate(pipe.gen_params, w, onehot, pipe.truncation, pipe.biggan_cfg)
     return _synthesize_core(pipe.gen_params, pipe.noise, w, mcfg=pipe.mcfg)
 
 
