@@ -106,6 +106,10 @@ def main(argv=None) -> int:
             mcfg=cfg.model,
             acfg=cfg.attribution,
             remat=cfg.run.remat,
+            dtype=cfg.run.dtype,
+            biggan_cfg=pipe.biggan_cfg,
+            class_onehot=pipe.class_onehot,
+            truncation=pipe.truncation,
         )
         ev = attr.evaluate_attribution(res, true_bits[c0:c1])
         accs = np.asarray(ev["bit_acc"])

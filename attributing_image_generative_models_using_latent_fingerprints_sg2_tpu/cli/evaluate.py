@@ -1,0 +1,57 @@
+"""Evaluation CLI: capacity-quality sweep (+ optional FID).
+
+Implements BASELINE.json config 3: key_len / sigma / shift grid measuring
+bit accuracy, exact-match attribution accuracy, and watermark visibility
+(LPIPS / MSE / FID between content-only and fingerprinted populations).
+
+    python -m ...cli.evaluate --model sg2 --ckpt ... \
+        --key_lens 32,64,128 --sigmas 0.5,1.0,2.0 --samples 8 --steps 200
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+from ..config import AttributionConfig, ModelConfig
+from ..eval.sweep import run_sweep, sweep_to_json
+from .common import build_parser, config_from_args, setup_compile_cache
+
+
+def main(argv=None) -> int:
+    parser = build_parser("fingerprint capacity-quality sweep")
+    parser.add_argument("--key_lens", type=str, default="32,64,128")
+    parser.add_argument("--sigmas", type=str, default="1.0")
+    parser.add_argument("--shifts", type=str, default="",
+                        help="comma list; empty = D - key_len per point")
+    parser.add_argument("--samples", type=int, default=4)
+    parser.add_argument("--with_fid", action="store_true")
+    parser.add_argument("--out", type=str, default="sweep.json")
+    args = parser.parse_args(argv)
+    setup_compile_cache(args.compile_cache)
+    cfg = config_from_args(args)
+
+    pts = run_sweep(
+        jax.random.PRNGKey(cfg.run.seed),
+        cfg.model,
+        key_lens=tuple(int(v) for v in args.key_lens.split(",") if v),
+        sigmas=tuple(float(v) for v in args.sigmas.split(",") if v),
+        shifts=tuple(int(v) for v in args.shifts.split(",") if v) or None,
+        samples=args.samples,
+        acfg=cfg.attribution,
+        ckpt_path=cfg.model.ckpt,
+        with_fid=args.with_fid,
+        dtype=cfg.run.dtype,
+    )
+    js = sweep_to_json(pts)
+    with open(args.out, "w") as f:
+        f.write(js)
+    print(js)
+    print(f"[evaluate] wrote {os.path.abspath(args.out)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
