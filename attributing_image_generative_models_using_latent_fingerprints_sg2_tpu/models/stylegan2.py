@@ -149,6 +149,67 @@ def equal_conv2d(
     return out
 
 
+def _compose_polyphase_up_kernel(w_stored: jax.Array, blur_kernel: Sequence[int]) -> jax.Array:
+    """Fuse (stride-2 conv_transpose, k=3) + (4-tap FIR blur, pad (1,1))
+    into ONE dense 3x3 convolution with 4x output channels (2x2 polyphase).
+
+    Derivation: with T the transposed-conv taps and B the blur taps,
+        y[t] = sum_i x[i] C[t - 2i],   C[r] = sum_s B[s] T[r + s - 1]
+    (r in [-2, 3]); splitting t = 2u + p gives, per parity p,
+        y_p[u] = sum_{a in -1..1} C[p - 2a] x[u + a]
+    i.e. a 3-tap correlation per output phase.  In 2D each (p, q) phase is
+    a 3x3 kernel; stacking the 4 phases as extra output channels turns the
+    whole upsample+blur into one MXU-dense conv at *input* resolution
+    followed by a depth-to-space reshuffle --- replacing the reference's
+    conv_transpose + upfirdn2d pair (src/model.py:269-282,191-197).
+
+    Measured on v5e: the depth-to-space relayout costs more than XLA's
+    native lhs_dilation lowering saves (56 vs 40 ms/attribution-step at
+    256px bf16), so this path is OFF by default (``fused_upsample=False``)
+    and kept as a verified alternative for other hardware generations.
+
+    w_stored: [3, 3, I, O] in this framework's pre-flipped storage (the
+    dilated-conv convention); returns [3, 3, I, 4*O] with phases ordered
+    (p, q) row-major.
+    """
+    kh = w_stored.shape[0]
+    assert kh == 3 and w_stored.shape[1] == 3
+    # unflip storage to recover the conv_transpose taps T
+    T = w_stored[::-1, ::-1]
+    B = np.asarray(make_kernel(blur_kernel), np.float32) * 4.0  # gain factor^2
+    # C[r1+2, r2+2] for r in [-2..3]: 6x6 composed taps
+    C = jnp.zeros((6, 6) + T.shape[2:], T.dtype)
+    for s1 in range(4):
+        for s2 in range(4):
+            b = float(B[s1, s2])
+            if b == 0.0:
+                continue
+            # T[r+s-1] valid when 0 <= r+s-1 <= 2  ->  r in [1-s, 3-s]
+            r1_lo, r1_hi = max(-2, 1 - s1), min(3, 3 - s1)
+            r2_lo, r2_hi = max(-2, 1 - s2), min(3, 3 - s2)
+            C = C.at[
+                r1_lo + 2 : r1_hi + 3, r2_lo + 2 : r2_hi + 3
+            ].add(b * T[r1_lo + s1 - 1 : r1_hi + s1, r2_lo + s2 - 1 : r2_hi + s2])
+    # phase kernels: D_pq[a, b] = C[p - 2(a-1), q - 2(b-1)], a,b in 0..2
+    phases = []
+    for p_ in range(2):
+        for q_ in range(2):
+            idx1 = [p_ - 2 * (a - 1) + 2 for a in range(3)]  # within [0..5]
+            idx2 = [q_ - 2 * (b - 1) + 2 for b in range(3)]
+            phases.append(C[jnp.asarray(idx1)][:, jnp.asarray(idx2)])
+    # [4][3,3,I,O] -> [3,3,I,4,O] -> [3,3,I,4*O]
+    D = jnp.stack(phases, axis=3)
+    return D.reshape(D.shape[0], D.shape[1], D.shape[2], -1)
+
+
+def _depth_to_space2(y4: jax.Array, out_ch: int) -> jax.Array:
+    """[B, H, W, 4*O] (phase-major) -> [B, 2H, 2W, O]."""
+    b, h, w, _ = y4.shape
+    y = y4.reshape(b, h, w, 2, 2, out_ch)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(b, 2 * h, 2 * w, out_ch)
+
+
 def modulated_conv2d(
     x: jax.Array,
     w_latent: jax.Array,
@@ -159,6 +220,7 @@ def modulated_conv2d(
     demodulate: bool = True,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
     eps: float = 1e-8,
+    fused_upsample: bool = False,
 ) -> jax.Array:
     """Style-modulated convolution, batched via the scaling identity.
 
@@ -184,21 +246,34 @@ def modulated_conv2d(
     w = (weight * scale).astype(x.dtype)
 
     if upsample:
-        y = lax.conv_general_dilated(
-            xs,
-            w,
-            window_strides=(1, 1),
-            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        # post-transpose blur: pad per src/model.py:191-197, gain factor^2
-        factor = 2
-        pp = (len(blur_kernel) - factor) - (kh - 1)
-        pad0 = (pp + 1) // 2 + factor - 1
-        pad1 = pp // 2 + 1
-        k = make_kernel(blur_kernel) * (factor**2)
-        y = upfirdn2d(y, k, pad=(pad0, pad1))
+        if fused_upsample and kh == 3 and len(blur_kernel) == 4:
+            # polyphase: conv_transpose + blur folded into one dense conv
+            # at input resolution (see _compose_polyphase_up_kernel)
+            D = (_compose_polyphase_up_kernel(weight, blur_kernel) * scale).astype(x.dtype)
+            y4 = lax.conv_general_dilated(
+                xs,
+                D,
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = _depth_to_space2(y4, cout)
+        else:
+            y = lax.conv_general_dilated(
+                xs,
+                w,
+                window_strides=(1, 1),
+                padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            # post-transpose blur: pad per src/model.py:191-197, gain factor^2
+            factor = 2
+            pp = (len(blur_kernel) - factor) - (kh - 1)
+            pad0 = (pp + 1) // 2 + factor - 1
+            pad1 = pp // 2 + 1
+            k = make_kernel(blur_kernel) * (factor**2)
+            y = upfirdn2d(y, k, pad=(pad0, pad1))
     elif downsample:
         # pre-conv blur: pad per src/model.py:199-205
         factor = 2

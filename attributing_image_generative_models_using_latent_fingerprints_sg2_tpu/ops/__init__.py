@@ -12,11 +12,14 @@ Replaces the reference's CUDA op directory (/root/reference/src/op/):
                          double-backward)
 """
 
+from .conv import conv2d, conv_transpose2d  # noqa: F401
 from .fused_act import fused_leaky_relu, leaky_relu  # noqa: F401
 from .upfirdn2d import (  # noqa: F401
     blur,
     downsample2x,
+    enable_pallas,
     make_kernel,
+    pallas_enabled,
     upfirdn2d,
     upfirdn2d_nchw,
     upsample2x,

@@ -210,6 +210,21 @@ def upfirdn2d(
         if out is not None:
             return out
 
+    # Polyphase fast path for the ToRGB-skip upsample case (up=2, 4-tap
+    # separable, pad (2,1)): each output parity is a 2-tap blend of the
+    # input --- pure shifted adds on the VPU, no zero-stuffed convolution.
+    if (
+        (up_y, up_x) == (2, 2)
+        and (down_y, down_x) == (1, 1)
+        and (pad_x0, pad_x1, pad_y0, pad_y1) == (2, 1, 2, 1)
+        and kernel_np.shape == (4, 4)
+        and x.ndim == 4
+        and _is_separable(kernel_np)
+    ):
+        ky, kx = _split_separable(kernel_np)
+        if np.allclose(ky, kx, atol=1e-12):
+            return _upblur2x_polyphase(x, tuple(float(v) for v in ky))
+
     if separable is None:
         separable = _is_separable(kernel_np)
 
@@ -232,6 +247,22 @@ def upfirdn2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )
+
+
+def _upblur2x_polyphase(x: jax.Array, k: Tuple[float, float, float, float]) -> jax.Array:
+    """upfirdn2d(x, outer(k,k), up=2, pad=(2,1)) via 2x2 polyphase:
+        out[2i]   = k0*xp[i]   + k2*xp[i+1]
+        out[2i+1] = k1*xp[i+1] + k3*xp[i+2]     (xp = x zero-padded by 1)
+    per axis.  Shifted adds only --- VPU-shaped, conv-free."""
+    n, h, w, c = x.shape
+    k0, k1, k2, k3 = k
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ve = k0 * xp[:, 0:h] + k2 * xp[:, 1 : h + 1]
+    vo = k1 * xp[:, 1 : h + 1] + k3 * xp[:, 2 : h + 2]
+    v = jnp.stack([ve, vo], axis=2).reshape(n, 2 * h, w + 2, c)
+    he = k0 * v[:, :, 0:w] + k2 * v[:, :, 1 : w + 1]
+    ho = k1 * v[:, :, 1 : w + 1] + k3 * v[:, :, 2 : w + 2]
+    return jnp.stack([he, ho], axis=3).reshape(n, 2 * h, 2 * w, c)
 
 
 def upfirdn2d_nchw(x, kernel, up=1, down=1, pad=(0, 0), separable=None):

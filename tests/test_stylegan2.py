@@ -122,6 +122,25 @@ def test_modulated_conv_upsample_matches_conv_transpose_oracle():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_polyphase_fused_upsample_equals_reference_path():
+    """conv_transpose+blur folded into one dense conv (2x2 polyphase) must
+    be numerically identical to the dilated-conv + upfirdn2d path."""
+    B, cin, cout, sd = 2, 6, 5, 12
+    p = {
+        "weight": jnp.asarray(_rand(3, 3, cin, cout)),
+        "mod": {
+            "weight": jnp.asarray(_rand(sd, cin)),
+            "bias": jnp.asarray(np.ones(cin, np.float32)),
+        },
+    }
+    x = jnp.asarray(_rand(B, 8, 8, cin))
+    wl = jnp.asarray(_rand(B, sd))
+    for demod in (True, False):
+        a = sg2.modulated_conv2d(x, wl, p, upsample=True, demodulate=demod, fused_upsample=False)
+        b = sg2.modulated_conv2d(x, wl, p, upsample=True, demodulate=demod, fused_upsample=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_generator_forward_shapes_and_finiteness():
     cfg = ModelConfig(img_size=32)
     params = sg2.init_generator_params(jax.random.PRNGKey(0), cfg)
