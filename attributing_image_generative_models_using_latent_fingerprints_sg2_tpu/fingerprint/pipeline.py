@@ -236,6 +236,20 @@ def augment(pipe: Pipeline, imgs: jax.Array, rng: Optional[jax.Array] = None) ->
     return apply_attack(pipe.attack, imgs, rng)
 
 
+def get_watermarked_images(
+    pipe: Pipeline, rng: jax.Array, batch: int = 1
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(original_img, watermarked_img, perturbed_img) float [-1,1] ---
+    ref ``get_watermarked_image`` (src/generator.py:185-198), which in the
+    reference only works under ``__main__`` because it reads module
+    globals."""
+    k_gen, k_atk = jax.random.split(rng)
+    imgs, w0, wx, bits, _ = generate_fingerprinted(pipe, k_gen, batch)
+    original = synthesize(pipe, w0)
+    perturbed = augment(pipe, imgs, k_atk)
+    return original, imgs, perturbed
+
+
 def generate_with_latent(
     pipe: Pipeline, rng: jax.Array, latent_w: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -222,9 +222,55 @@ def build_lpips_params(
 
 
 # ---------------------------------------------------------------------------
-# MSE alternative (ref src/utils.py:44-50 loss_func="mse")
+# Alternative distance modes of the reference's DistModel
+# (dist_model.py:61-84: net-lin [above], "net", L2, SSIM)
 # ---------------------------------------------------------------------------
 
 
 def mse_per_sample(img0: jax.Array, img1: jax.Array) -> jax.Array:
+    """"L2" mode / ref src/utils.py:44-50 loss_func="mse"."""
     return jnp.mean(jnp.square(img0 - img1), axis=(1, 2, 3))
+
+
+def lpips_net_mode(params: Dict[str, Any], img0: jax.Array, img1: jax.Array) -> jax.Array:
+    """"net" mode: squared feature diffs summed over channels, spatially
+    averaged, summed over layers --- no learned lin heads
+    (networks_basic.py:77-86, lpips=False branch)."""
+    f0 = extract_features(params, img0)
+    f1 = extract_features(params, img1)
+    total = None
+    for a, b in zip(f0, f1):
+        d = jnp.mean(
+            jnp.sum(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)), axis=-1),
+            axis=(-2, -1),
+        )
+        total = d if total is None else total + d
+    return total
+
+
+def dssim_per_sample(
+    img0: jax.Array, img1: jax.Array, data_range: float = 2.0, win: int = 7
+) -> jax.Array:
+    """(1 - SSIM)/2 on [-1,1] images --- the reference's "SSIM" DistModel
+    mode (dist_model.py:80-84 via skimage; uniform window variant)."""
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def avg(v):
+        k = jnp.ones((win, win, 1, 1), v.dtype) / (win * win)
+        c = v.shape[-1]
+        kk = jnp.broadcast_to(k, (win, win, 1, c))
+        return lax.conv_general_dilated(
+            v, kk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+
+    mu0, mu1 = avg(img0), avg(img1)
+    s00 = avg(img0 * img0) - mu0 * mu0
+    s11 = avg(img1 * img1) - mu1 * mu1
+    s01 = avg(img0 * img1) - mu0 * mu1
+    ssim_map = ((2 * mu0 * mu1 + c1) * (2 * s01 + c2)) / (
+        (mu0**2 + mu1**2 + c1) * (s00 + s11 + c2)
+    )
+    ssim = jnp.mean(ssim_map, axis=(1, 2, 3))
+    return (1.0 - ssim) / 2.0
