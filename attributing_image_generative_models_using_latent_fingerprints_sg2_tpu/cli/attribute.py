@@ -90,19 +90,23 @@ def main(argv=None) -> int:
     print(f"[attribute] {s_total} targets generated in {time.time()-t0:.1f}s")
 
     # --- solve -------------------------------------------------------------
+    # data-parallel mesh over all visible devices when >1 (or --mesh_data)
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.run.mesh_data > 1 or (cfg.run.mesh_data == 0 and n_dev > 1):
+        from ..parallel import mesh as pm
+        from ..parallel.solver import attribute_on_mesh
+
+        mesh = pm.make_mesh(data=cfg.run.mesh_data or 0, model=max(1, cfg.run.mesh_model))
+        print(f"[attribute] mesh: {dict(mesh.shape)} over {n_dev} devices")
+
     chunk = args.chunk_samples or s_total
     bit_accs = list(state.bit_accs)
     success = state.success
     t_solve = time.time()
     for c0 in range(state.next_sample, s_total, chunk):
         c1 = min(c0 + chunk, s_total)
-        res = attr.attribute(
-            pipe.gen_params,
-            pipe.lpips_params,
-            pipe.basis,
-            pipe.noise,
-            targets[c0:c1],
-            jax.random.fold_in(k_opt, c0),
+        kw = dict(
             mcfg=cfg.model,
             acfg=cfg.attribution,
             remat=cfg.run.remat,
@@ -111,6 +115,24 @@ def main(argv=None) -> int:
             class_onehot=pipe.class_onehot,
             truncation=pipe.truncation,
         )
+        if mesh is not None:
+            from ..parallel.solver import attribute_on_mesh
+
+            res = attribute_on_mesh(
+                mesh, pipe.gen_params, pipe.lpips_params, pipe.basis, pipe.noise,
+                targets[c0:c1], jax.random.fold_in(k_opt, c0),
+                shard_model=(cfg.run.mesh_model > 1), **kw,
+            )
+        else:
+            res = attr.attribute(
+                pipe.gen_params,
+                pipe.lpips_params,
+                pipe.basis,
+                pipe.noise,
+                targets[c0:c1],
+                jax.random.fold_in(k_opt, c0),
+                **kw,
+            )
         ev = attr.evaluate_attribution(res, true_bits[c0:c1])
         accs = np.asarray(ev["bit_acc"])
         for i, a in enumerate(accs):

@@ -58,6 +58,10 @@ class AttributionResult:
     loss: jax.Array  # [S] best final loss
     losses_all: jax.Array  # [S, n] final loss of every restart
     best_start: jax.Array  # [S] argmin restart index
+    # [steps] mean per-element loss per step: the observability the
+    # reference gets from printing every 100 steps (src/main.py:74-76),
+    # without host syncs.
+    loss_curve: Optional[jax.Array] = None
 
 
 def _make_optimizer(acfg: AttributionConfig) -> optax.GradientTransformation:
@@ -221,6 +225,7 @@ def attribute(
         loss=jnp.min(final_per, axis=1),
         losses_all=final_per,
         best_start=best,
+        loss_curve=jnp.mean(per, axis=(1, 2)),
     )
 
 
