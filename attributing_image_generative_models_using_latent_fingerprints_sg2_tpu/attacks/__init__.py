@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 from ..config import AttackConfig
 from .blur import gaussian_blur, gaussian_blur_random
-from .diffjpeg import diff_round, jpeg_attack, jpeg_compress_decompress, quality_to_factor
+from .diffjpeg import (  # noqa: F401  (public re-exports)
+    diff_round,
+    jpeg_attack,
+    jpeg_compress_decompress,
+    quality_to_factor,
+)
 from .noise import gaussian_noise
 
 AttackFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]

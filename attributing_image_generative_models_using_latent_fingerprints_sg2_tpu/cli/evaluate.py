@@ -15,7 +15,6 @@ import sys
 
 import jax
 
-from ..config import AttributionConfig, ModelConfig
 from ..eval.sweep import run_sweep, sweep_to_json
 from .common import build_parser, config_from_args, setup_compile_cache
 

@@ -17,7 +17,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 from ..fingerprint import pipeline as pl
 from ..utils.image import make_image, store_results, watermark_images

@@ -11,10 +11,9 @@ never waits on it in a loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .inception import inception_features, preprocess

@@ -17,8 +17,7 @@ avg/max pools via ``lax.reduce_window``.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

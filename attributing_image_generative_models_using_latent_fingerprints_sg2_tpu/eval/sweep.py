@@ -19,11 +19,10 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import json
-from typing import Any, Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import AttributionConfig, FingerprintConfig, ModelConfig
 from ..fingerprint import attribute as attr

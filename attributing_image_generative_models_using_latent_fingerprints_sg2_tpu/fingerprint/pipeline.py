@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attacks import AttackFn, apply_attack, make_attack
-from ..config import AttackConfig, Config, FingerprintConfig, ModelConfig
+from ..config import AttackConfig, FingerprintConfig, ModelConfig
 from ..losses import lpips as lpips_mod
 from ..models import stylegan2 as sg2
 from .embed import (

@@ -10,12 +10,11 @@ the metric can be re-calibrated on-TPU from perceptual-judgement data.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 # ---------------------------------------------------------------------------

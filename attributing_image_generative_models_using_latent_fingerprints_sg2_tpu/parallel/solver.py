@@ -11,8 +11,6 @@ the communication floor of this algorithm (SURVEY.md section 2:
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 
 from ..config import AttributionConfig, ModelConfig

@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, List
 
 
 def make_run_dir(save_dir: str, augmentation: str, sigma: float, shift: int) -> str:
