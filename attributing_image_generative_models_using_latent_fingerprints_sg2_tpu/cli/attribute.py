@@ -115,7 +115,7 @@ def main(argv=None) -> int:
             class_onehot=pipe.class_onehot,
             truncation=pipe.truncation,
         )
-        if mesh is not None:
+        if mesh is not None and (c1 - c0) % mesh.shape["data"] == 0:
             from ..parallel.solver import attribute_on_mesh
 
             res = attribute_on_mesh(

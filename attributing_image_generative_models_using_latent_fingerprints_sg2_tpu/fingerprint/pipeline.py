@@ -83,6 +83,9 @@ def build_pipeline(
     (src/generator.py:53-64): PCA over truncated-noise latents
     (src/PCA.py:76-84), class conditioning from --biggan_label,
     truncation 0.4."""
+    if mcfg.model not in ("sg2", "biggan"):
+        raise ValueError(f"Not Avail GANs: {mcfg.model!r}")  # ref src/generator.py:67
+
     k_init, k_pca, k_noise, k_lpips = jax.random.split(key, 4)
 
     if mcfg.model == "biggan":

@@ -1,0 +1,103 @@
+"""In-process CLI end-to-end tests: generate -> artifacts, attribute ->
+result.txt + resumable state, evaluate -> sweep json.  Tiny random-init
+models; validates the full user-facing surface incl. flag parsing and
+output layouts (ref README.md usage / src/params.py flags)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+COMMON = [
+    "--model", "sg2", "--random_init", "--img_size", "16",
+    "--key_len", "4", "--shift", "504", "--sigma", "1.0",
+    "--compile_cache", "",
+]
+
+
+def test_generate_cli(tmp_path):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.generate import (
+        main,
+    )
+
+    rc = main(COMMON + ["--sample_size", "2", "--save_dir", str(tmp_path) + "/"])
+    assert rc == 0
+    runs = []
+    for root, dirs, files in os.walk(tmp_path):
+        if "sampling_config.yaml" in files:
+            runs.append(root)
+    assert len(runs) == 1
+    run = runs[0]
+    assert "None/fixed_sigma_10/shift_504" in run.replace(os.sep, "/")
+    for sub in ("original", "watermarked", "watermark_pos", "watermark_neg"):
+        pngs = os.listdir(os.path.join(run, sub))
+        assert sorted(pngs) == ["000000.png", "000001.png"], (sub, pngs)
+    # PNGs decode to 16x16 RGB
+    from PIL import Image
+
+    arr = np.asarray(Image.open(os.path.join(run, "watermarked", "000000.png")))
+    assert arr.shape == (16, 16, 3) and arr.dtype == np.uint8
+
+
+def test_attribute_cli_and_resume(tmp_path):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.attribute import (
+        main,
+    )
+
+    args = COMMON + [
+        "--sample_size", "2", "--steps", "5", "--n", "2", "--loss", "mse",
+        "--save_dir", str(tmp_path) + "/", "--chunk_samples", "1",
+    ]
+    rc = main(args)
+    assert rc == 0
+    runs = []
+    for root, dirs, files in os.walk(tmp_path):
+        if "result.txt" in files:
+            runs.append(root)
+    assert len(runs) == 1
+    run = runs[0]
+    txt = open(os.path.join(run, "result.txt")).read()
+    assert "sample index: 0, bit acc:" in txt
+    assert "sample index: 1, bit acc:" in txt
+    # resumable state was written and marks the run complete
+    st = json.load(open(os.path.join(run, "attribution_state.json")))
+    assert st["next_sample"] == 2
+    assert len(st["bit_accs"]) == 2
+    # resuming a finished run is a no-op that exits cleanly
+    rc2 = main(args + ["--resume", run])
+    assert rc2 == 0
+    st2 = json.load(open(os.path.join(run, "attribution_state.json")))
+    assert st2["next_sample"] == 2 and len(st2["bit_accs"]) == 2
+
+
+def test_evaluate_cli(tmp_path):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.evaluate import (
+        main,
+    )
+
+    out = str(tmp_path / "sweep.json")
+    rc = main(
+        COMMON
+        + [
+            "--key_lens", "4", "--sigmas", "1.0", "--samples", "2",
+            "--steps", "3", "--n", "2", "--loss", "mse", "--out", out,
+        ]
+    )
+    assert rc == 0
+    pts = json.load(open(out))
+    assert len(pts) == 1
+    assert pts[0]["key_len"] == 4
+    assert 0.0 <= pts[0]["mean_bit_acc"] <= 1.0
+
+
+def test_cli_rejects_unknown_model(tmp_path):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.generate import (
+        main,
+    )
+
+    with pytest.raises(ValueError, match="Not Avail GANs"):
+        main(["--model", "dalle", "--random_init", "--img_size", "16",
+              "--sample_size", "1", "--compile_cache", "",
+              "--save_dir", str(tmp_path) + "/"])
