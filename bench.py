@@ -53,9 +53,11 @@ def main() -> int:
 
     # Reference-scale problem: 256px StyleGAN2, key_len 64, LPIPS loss.
     # Batch: 4 samples x 4 restarts = 16 concurrent inversion chains.
+    # n_pca reduced (PCA quality is irrelevant to throughput; keeps the
+    # cold-start compile budget bounded on the slow remote-compile tunnel).
     mcfg = ModelConfig(img_size=256)
-    fpcfg = FingerprintConfig(key_len=64, shift=448)
-    samples, n_starts, steps = 4, 4, 30
+    fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
+    samples, n_starts, steps = 4, 4, 20
 
     acfg = AttributionConfig(steps=steps, n_starts=n_starts, lr=0.2, loss="perceptual")
     key = jax.random.PRNGKey(0)
