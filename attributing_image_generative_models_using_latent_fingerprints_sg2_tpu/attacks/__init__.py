@@ -25,6 +25,7 @@ from .diffjpeg import (  # noqa: F401  (public re-exports)
     jpeg_compress_decompress,
     quality_to_factor,
 )
+from .crop import center_crop, random_crop  # noqa: F401
 from .noise import gaussian_noise
 
 AttackFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]
@@ -53,6 +54,21 @@ def make_attack(cfg: AttackConfig, is_train: bool = False) -> Optional[AttackFn]
 
         def fn(img, rng):
             return gaussian_blur(img, sigma=cfg.blur_sigma, size=cfg.blur_filter_size)
+
+        return fn
+
+    if name == "Crop":
+        # benchmark config 4 extra (no reference equivalent): eval = fixed
+        # center crop; train = random offset
+        if is_train:
+
+            def fn(img, rng):
+                return random_crop(img, rng, ratio=cfg.crop_ratio)
+
+            return fn
+
+        def fn(img, rng):
+            return center_crop(img, ratio=cfg.crop_ratio)
 
         return fn
 

@@ -83,11 +83,12 @@ class AttributionConfig:
 class AttackConfig:
     """Robustness attack settings (ref: src/params.py:27-31)."""
 
-    augmentation: str = "None"  # None | Noise | Blur | Jpeg | Combination
+    augmentation: str = "None"  # None | Noise | Blur | Jpeg | Crop | Combination
     jpeg_quality: int = 50
     noise_sigma: float = 0.1
     blur_sigma: float = 0.5
     blur_filter_size: int = 25  # eval-mode filter size, ref Gaussian_blur.py:16-20
+    crop_ratio: float = 0.9  # crop attack window (benchmark config 4 extra)
 
 
 @dataclasses.dataclass(frozen=True)

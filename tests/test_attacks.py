@@ -156,7 +156,29 @@ def test_make_attack_none_is_identity():
     np.testing.assert_array_equal(np.asarray(apply_attack(atk, x)), np.asarray(x))
 
 
-@pytest.mark.parametrize("name", ["Noise", "Blur", "Jpeg", "Combination"])
+def test_crop_attack():
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.attacks.crop import (
+        center_crop,
+        random_crop,
+    )
+
+    x = _img(20, s=32)
+    y = center_crop(x, ratio=0.75)
+    assert y.shape == x.shape
+    assert np.abs(np.asarray(y) - np.asarray(x)).max() > 1e-3  # zoomed in
+    # ratio 1.0 -> identity
+    np.testing.assert_allclose(
+        np.asarray(center_crop(x, ratio=1.0)), np.asarray(x), atol=1e-6
+    )
+    # random crop is jit-safe and differentiable
+    f = jax.jit(lambda a, r: random_crop(a, r, 0.75))
+    y2 = f(x, jax.random.PRNGKey(0))
+    assert y2.shape == x.shape
+    g = jax.grad(lambda a: jnp.sum(center_crop(a, 0.75) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("name", ["Noise", "Blur", "Jpeg", "Crop", "Combination"])
 def test_make_attack_eval_modes_run(name):
     cfg = AttackConfig(augmentation=name, blur_filter_size=25)
     atk = make_attack(cfg, is_train=False)
@@ -181,4 +203,4 @@ def test_combination_eval_applies_all():
 
 def test_unknown_attack_raises():
     with pytest.raises(ValueError, match="Not available"):
-        make_attack(AttackConfig(augmentation="Crop"))
+        make_attack(AttackConfig(augmentation="Rotate"))
