@@ -158,15 +158,18 @@ def main(argv=None) -> int:
         )
 
     dt = time.time() - t_solve
-    total_steps = s_total * cfg.attribution.steps
     print(
         f"[attribute] mean bit acc {np.mean(bit_accs):.4f}, "
         f"attribution acc {success/len(bit_accs):.4f} over {s_total} samples"
     )
-    print(
-        f"[attribute] {dt:.1f}s solve; {total_steps/dt:.2f} sample-steps/s "
-        f"(x{cfg.attribution.n_starts} restarts each)"
-    )
+    if state.next_sample >= s_total and dt < 0.5:
+        print("[attribute] nothing left to solve (resumed run already complete)")
+    else:
+        total_steps = s_total * cfg.attribution.steps
+        print(
+            f"[attribute] {dt:.1f}s solve; {total_steps/dt:.2f} sample-steps/s "
+            f"(x{cfg.attribution.n_starts} restarts each)"
+        )
     return 0
 
 

@@ -11,6 +11,7 @@ and documented.
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..config import (
     AttackConfig,
@@ -69,6 +70,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
+    if getattr(args, "loss", "perceptual") not in ("perceptual", "mse"):
+        raise SystemExit(f"--loss must be 'perceptual' or 'mse', got {args.loss!r}")
+    if not args.random_init and args.ckpt and not os.path.exists(args.ckpt):
+        raise SystemExit(
+            f"checkpoint not found: {args.ckpt!r} (pass --ckpt PATH to a "
+            "rosinality .pt, or --random_init for a smoke run)"
+        )
     return Config(
         model=ModelConfig(
             model=args.model,
