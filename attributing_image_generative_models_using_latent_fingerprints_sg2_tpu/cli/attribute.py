@@ -36,6 +36,11 @@ def main(argv=None) -> int:
         "bounds peak memory at large sample_size",
     )
     parser.add_argument(
+        "--chunk_starts", type=int, default=0,
+        help="split the LHS restarts into chunks of this many (0 = all at "
+        "once); bounds peak memory at large --n / high resolution",
+    )
+    parser.add_argument(
         "--resume", type=str, default=None,
         help="resume an interrupted run from its run dir (uses the saved "
         "attribution_state.json; seeds and sample order are reproduced)",
@@ -124,13 +129,14 @@ def main(argv=None) -> int:
                 shard_model=(cfg.run.mesh_model > 1), **kw,
             )
         else:
-            res = attr.attribute(
+            res = attr.attribute_chunked(
                 pipe.gen_params,
                 pipe.lpips_params,
                 pipe.basis,
                 pipe.noise,
                 targets[c0:c1],
                 jax.random.fold_in(k_opt, c0),
+                chunk_starts=args.chunk_starts,
                 **kw,
             )
         ev = attr.evaluate_attribution(res, true_bits[c0:c1])

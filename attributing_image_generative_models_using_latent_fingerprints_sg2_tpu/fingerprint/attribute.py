@@ -228,6 +228,59 @@ def attribute(
     )
 
 
+def attribute_chunked(
+    gen_params,
+    lpips_params,
+    basis: FingerprintBasis,
+    noise,
+    targets: jax.Array,
+    rng: jax.Array,
+    *,
+    mcfg: ModelConfig,
+    acfg: AttributionConfig,
+    chunk_starts: int = 0,
+    **kwargs,
+) -> AttributionResult:
+    """Solve with the restart axis split into chunks of ``chunk_starts``
+    (0 = all at once): bounds peak memory at large n (e.g. the full-scale
+    1024px config with n=20) at zero algorithmic cost --- restarts are
+    independent, so the per-sample argmin merges across chunks exactly.
+    """
+    n_total = acfg.n_starts
+    if chunk_starts <= 0 or chunk_starts >= n_total:
+        return attribute(
+            gen_params, lpips_params, basis, noise, targets, rng,
+            mcfg=mcfg, acfg=acfg, **kwargs,
+        )
+    best: Optional[AttributionResult] = None
+    offset = 0
+    for c0 in range(0, n_total, chunk_starts):
+        n_c = min(chunk_starts, n_total - c0)
+        res = attribute(
+            gen_params, lpips_params, basis, noise, targets,
+            jax.random.fold_in(rng, c0),
+            mcfg=mcfg, acfg=acfg, n_starts=n_c, **kwargs,
+        )
+        if best is None:
+            best = res
+        else:
+            take_new = res.loss < best.loss  # [S]
+            pick = lambda a, b: jnp.where(
+                take_new.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            )
+            best = AttributionResult(
+                alpha=pick(res.alpha, best.alpha),
+                key_logits=pick(res.key_logits, best.key_logits),
+                key_bits=pick(res.key_bits, best.key_bits),
+                loss=jnp.minimum(res.loss, best.loss),
+                losses_all=jnp.concatenate([best.losses_all, res.losses_all], axis=1),
+                best_start=jnp.where(take_new, res.best_start + offset, best.best_start),
+                loss_curve=best.loss_curve,
+            )
+        offset += n_c
+    return best
+
+
 def evaluate_attribution(
     result: AttributionResult, true_keys: jax.Array
 ) -> Dict[str, Any]:

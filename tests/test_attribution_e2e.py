@@ -119,6 +119,24 @@ def test_attribution_under_noise_attack(pipe):
     assert float(ev["mean_bit_acc"]) > 0.7
 
 
+def test_attribute_chunked_restarts(pipe):
+    """Chunked restarts merge per-sample argmin exactly; best loss equals
+    the min over all chunk losses."""
+    acfg = AttributionConfig(steps=20, n_starts=4, lr=0.2, loss="mse")
+    imgs, *_, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(20), 2)
+    res = attr.attribute_chunked(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(21), mcfg=MCFG, acfg=acfg, chunk_starts=2,
+    )
+    assert res.losses_all.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.asarray(res.losses_all).min(axis=1), atol=1e-6
+    )
+    assert res.key_bits.shape == (2, 8)
+    # best_start indexes into the concatenated restart axis
+    assert (np.asarray(res.best_start) < 4).all()
+
+
 def test_evaluate_attribution_math():
     res = attr.AttributionResult(
         alpha=jnp.zeros((2, 4)),
