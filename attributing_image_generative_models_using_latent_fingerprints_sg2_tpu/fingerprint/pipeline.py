@@ -253,6 +253,29 @@ def get_watermarked_images(
     return original, imgs, perturbed
 
 
+def synthesize_mixed(
+    pipe: Pipeline, w_content: jax.Array, w_fingerprint: jax.Array,
+    inject_index: Optional[int] = None,
+) -> jax.Array:
+    """Style-mixing synthesis: content style for the first ``inject_index``
+    layers, fingerprinted style for the rest.  The reference carries this
+    switch (``style_mixing``, src/generator.py:92-95, default off) with
+    inject_index = num_block - 1; sg2-only."""
+    if pipe.mcfg.model != "sg2":
+        raise ValueError("style mixing is an sg2 feature")
+    if inject_index is None:
+        inject_index = pipe.mcfg.n_latent - 2
+    imgs, _ = sg2.generate(
+        pipe.gen_params,
+        [w_content, w_fingerprint],
+        pipe.mcfg,
+        input_is_latent=True,
+        inject_index=inject_index,
+        noise=pipe.noise,
+    )
+    return imgs
+
+
 def generate_with_latent(
     pipe: Pipeline, rng: jax.Array, latent_w: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:

@@ -95,6 +95,24 @@ def test_upfirdn2d_grad_matches_numerical():
     np.testing.assert_allclose(np.asarray(g), num, rtol=2e-2, atol=2e-2)
 
 
+def test_upfirdn2d_downsample_grad_matches_numerical():
+    """down=2 gradient (the Downsample/blur-before-strided-conv path)."""
+    x = _rand(1, 6, 6, 1).astype(np.float64)
+    k = make_kernel([1, 3, 3, 1])
+
+    def f(xx):
+        return jnp.sum(upfirdn2d(xx, k, up=1, down=2, pad=(2, 2)) ** 2)
+
+    g = jax.grad(f)(jnp.asarray(x, jnp.float32))
+    eps = 1e-3
+    num = np.zeros_like(x)
+    for idx in np.ndindex(*x.shape):
+        xp = x.copy(); xp[idx] += eps
+        xm = x.copy(); xm[idx] -= eps
+        num[idx] = (float(f(jnp.asarray(xp, jnp.float32))) - float(f(jnp.asarray(xm, jnp.float32)))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), num, rtol=2e-2, atol=2e-2)
+
+
 def test_upfirdn2d_double_backward_exists():
     """Reference implements double-backward by hand (upfirdn2d.py:20-86);
     JAX must differentiate twice without error and give a finite result."""
