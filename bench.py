@@ -1,40 +1,105 @@
-"""Benchmark: attribution solve throughput on real TPU hardware.
+"""Benchmark: attribution / generation throughput on real TPU hardware.
 
 Measures the framework's hot loop --- the batched multi-start latent
 inversion (generator fwd+bwd + LPIPS per step, all samples x restarts in
-one program) --- at the reference's image size (256px, key_len=64,
-shift=448) and reports **equivalent serial attribution steps per second**:
+one program; ref serial loop /root/reference/src/main.py:57-70) --- and
+reports **equivalent serial attribution steps per second**:
 
-    sample_steps/sec = samples * restarts * steps / wall_seconds
+    chain_steps/sec = chains * steps / wall_seconds
 
-i.e. how many of the reference's one-at-a-time optimizer steps
-(/root/reference/src/main.py:57-70, each a full generator fwd+bwd plus two
-VGG16 forwards) this implementation retires per second.
+Measurement method (see the axon platform notes in the verify skill):
+- only a host fetch fences timing on this platform, so every measurement
+  ends in an np.asarray fetch;
+- per-dispatch overhead is ~0.5 s, so we never time a single call ---
+  throughput is the MARGINAL cost between two scan lengths of the same
+  jitted program:  steps/s = B*(S2-S1) / (t(S2) - t(S1));
+- one transient tunnel error must not kill the capture of record, so the
+  warm-up + timed section is wrapped in a bounded retry.
+
+MFU: FLOPs come from XLA's own cost model (compiled.cost_analysis()),
+also taken as a marginal between the two scan lengths; peak is the chip's
+bf16 peak (v5e: 197 TFLOP/s).
+
+Presets (``python bench.py [--preset P]``):
+- ``default``  --- 256px attribution, bf16, 16 chains (the headline metric)
+- ``1024px``   --- 1024px attribution, bf16 + remat, 4 chains
+- ``generate`` --- 1024px fingerprinted generation, bf16, imgs/sec
+
+Output: ONE JSON line {metric, value, unit, vs_baseline, mfu, ...}.
 
 Baseline: the reference publishes no numbers (BASELINE.md); a single
-modern GPU running its serial loop is generously assumed at
-REF_STEPS_PER_SEC below (batch-1 StyleGAN2 256px fwd+bwd + LPIPS ~ tens of
-iters/sec at best).  ``vs_baseline`` = ours / that.
-
-Output: ONE JSON line {metric, value, unit, vs_baseline}.
+modern GPU running its serial loop is generously assumed at the
+REF_* constants below.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
-REF_STEPS_PER_SEC = 20.0  # assumed reference GPU serial its/sec (see docstring)
+# Assumed reference throughput on one modern GPU (no numbers published
+# in-repo; see BASELINE.md). 256px serial fwd+bwd+LPIPS ~ 20 it/s is
+# generous; 1024px scales by ~16x pixels -> ~2 it/s; batch-1 1024px
+# generation ~ 10 imgs/s.
+REF_STEPS_PER_SEC_256 = 20.0
+REF_STEPS_PER_SEC_1024 = 2.0
+REF_IMGS_PER_SEC_1024 = 10.0
+
+TPU_V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+
+RETRIES = 3
+RETRY_SLEEP_S = 8.0
 
 
-def main() -> int:
-    import jax
+def _peak_flops(jax) -> float | None:
+    plat = jax.devices()[0].platform.lower()
+    if plat in ("tpu", "axon"):
+        return TPU_V5E_BF16_PEAK
+    return None
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
+def _flops_of(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _measure_marginal(make_fn, s1: int, s2: int, fresh_args):
+    """Time fn at two scan lengths; return the marginal seconds t(s2)-t(s1).
+
+    ``make_fn(steps)`` returns a jitted callable; ``fresh_args()`` returns
+    a new argument tuple (fresh arrays each attempt, per the platform
+    notes). Warm-up (compile+execute) happens per length, then each length
+    is timed with host-fetch fences.
+    """
+    import numpy as np
+
+    fn1, fn2 = make_fn(s1), make_fn(s2)
+    for fn in (fn1, fn2):
+        args = fresh_args()
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile + warm
+
+    def timed(fn):
+        args = fresh_args()
+        t0 = time.time()
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return time.time() - t0
+
+    # median of 3 interleaved pairs (observed ~8% run-to-run variance on
+    # the shared tunnel)
+    diffs = sorted(timed(fn2) - timed(fn1) for _ in range(3))
+    return diffs[1]
+
+
+def bench_attribution(img_size: int) -> dict:
+    import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
         AttributionConfig,
@@ -51,52 +116,235 @@ def main() -> int:
         init_lpips_params,
     )
 
-    # Reference-scale problem: 256px StyleGAN2, key_len 64, LPIPS loss.
-    # Batch: 4 samples x 4 restarts = 16 concurrent inversion chains.
-    # n_pca reduced (PCA quality is irrelevant to throughput; keeps the
-    # cold-start compile budget bounded on the slow remote-compile tunnel).
-    mcfg = ModelConfig(img_size=256)
+    # Reference-scale problem: key_len 64, LPIPS loss. n_pca reduced (PCA
+    # quality is irrelevant to throughput; bounds cold-start compile time
+    # on the slow remote-compile tunnel).
+    mcfg = ModelConfig(img_size=img_size)
     fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
-    samples, n_starts, steps = 4, 4, 20
+    if img_size >= 1024:
+        samples, n_starts, s1, s2 = 2, 2, 4, 12
+        remat, ref = True, REF_STEPS_PER_SEC_1024
+    else:
+        samples, n_starts, s1, s2 = 4, 4, 10, 30
+        remat, ref = False, REF_STEPS_PER_SEC_256
+    chains = samples * n_starts
 
-    acfg = AttributionConfig(steps=steps, n_starts=n_starts, lr=0.2, loss="perceptual")
-    key = jax.random.PRNGKey(0)
-    pipe = pl.build_pipeline(key, mcfg, fpcfg, want_lpips=False)
+    acfg = AttributionConfig(steps=s2, n_starts=n_starts, lr=0.2, loss="perceptual")
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
     lpips_params = init_lpips_params(jax.random.PRNGKey(1))
-    imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(2), samples)
-    targets = jax.lax.stop_gradient(imgs)
+    imgs, _, _, _, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(2), samples)
+    targets = np.asarray(jax.lax.stop_gradient(imgs))  # host copy -> fresh device arrays per attempt
 
-    def solve(rng):
-        return attr.attribute(
-            pipe.gen_params, lpips_params, pipe.basis, pipe.noise, targets, rng,
-            mcfg=mcfg, acfg=acfg, dtype="bfloat16",
-        )
+    def make_callable(steps):
+        def call(rng, tgt):
+            return attr.attribute(
+                pipe.gen_params, lpips_params, pipe.basis, pipe.noise,
+                jnp.asarray(tgt), rng,
+                mcfg=mcfg, acfg=acfg, steps=steps, remat=remat, dtype="bfloat16",
+            ).loss
 
+        return jax.jit(call)
+
+    seed = [10]
+
+    def fresh_args():
+        seed[0] += 1
+        return (jax.random.PRNGKey(seed[0]), jnp.asarray(targets))
+
+    dt = _measure_marginal(make_callable, s1, s2, fresh_args)
+    chain_steps_per_sec = chains * (s2 - s1) / dt
+
+    # FLOPs of exactly one optimizer step (the scan body): XLA's cost
+    # model counts a while-loop body once regardless of trip count, so we
+    # lower the bare step program instead of diffing scan lengths.
+    fl_step = _step_flops(
+        pipe, lpips_params, targets, mcfg, acfg, remat=remat
+    )  # flops per program step = all `chains` chains advancing once
+    peak = _peak_flops(jax)
+    mfu = (
+        fl_step * (s2 - s1) / dt / peak
+        if (fl_step and peak and dt > 0)
+        else None
+    )
+    return {
+        "metric": f"attribution chain-steps/sec ({img_size}px, LPIPS, fwd+bwd, bf16, marginal)",
+        "value": round(chain_steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(chain_steps_per_sec / ref, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_chain_step": round(fl_step / chains) if fl_step else None,
+        "chains": chains,
+    }
+
+
+def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
+    """XLA-counted FLOPs of one fused loss+grad+Adam step over all chains."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        attribute as attr,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses import (
+        lpips as lpips_mod,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.utils.lhs import (
+        lhs_alpha_init_batch,
+    )
+
+    s_ = targets.shape[0]
+    n_ = acfg.n_starts
+    tf = lpips_mod.extract_features(
+        lpips_params, jnp.asarray(targets).astype(jnp.bfloat16)
+    )
+    target_feats = tuple(f[:, None] for f in tf)
+    alpha0 = lhs_alpha_init_batch(
+        jax.random.PRNGKey(0), s_, n_, pipe.basis.sigma_rest
+    )
+    key0 = jnp.zeros((s_, n_, pipe.basis.v_cap.shape[0]))
+    opt_params = {"alpha": alpha0, "key": key0}
+    optimizer = attr._make_optimizer(acfg)
+    opt_state = optimizer.init(opt_params)
+    step = attr.make_attribution_step(
+        pipe.gen_params, lpips_params, pipe.basis, pipe.noise, mcfg, acfg,
+        target_feats, None, optimizer, remat=remat, dtype=jnp.bfloat16,
+    )
+    fn = jax.jit(lambda c: step(c, None)[0])
+    try:
+        return _flops_of(fn.lower((opt_params, opt_state)).compile())
+    except Exception as e:
+        print(f"step-flops cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+def bench_generate(img_size: int = 1024) -> dict:
     import numpy as np
 
-    # warm-up / compile.  NOTE: on the axon TPU platform block_until_ready
-    # returns immediately; only a host fetch truly synchronizes, so all
-    # timing fences below are np.asarray fetches of a small result.
-    res = solve(jax.random.PRNGKey(3))
-    np.asarray(res.loss)
-
-    t0 = time.time()
-    res = solve(jax.random.PRNGKey(4))
-    np.asarray(res.loss)
-    dt = time.time() - t0
-
-    sample_steps_per_sec = samples * n_starts * steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "attribution sample-steps/sec (256px, LPIPS, fwd+bwd)",
-                "value": round(sample_steps_per_sec, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(sample_steps_per_sec / REF_STEPS_PER_SEC, 2),
-            }
-        )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        FingerprintConfig,
+        ModelConfig,
     )
-    return 0
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as pl,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.embed import (
+        embed,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models import (
+        stylegan2 as sg2,
+    )
+
+    mcfg = ModelConfig(img_size=img_size)
+    fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    batch = 8
+    nl = sg2.n_latent(mcfg.img_size)
+    d = pipe.basis.u_cap.shape[1]
+
+    def make_callable(n_batches):
+        def run(rng):
+            def body(carry, i):
+                r = jax.random.fold_in(rng, i)
+                alpha = jax.random.normal(r, (batch, d - fpcfg.key_len))
+                bits = jnp.asarray(
+                    jax.random.bernoulli(jax.random.fold_in(r, 1), 0.5,
+                                         (batch, fpcfg.key_len)), jnp.float32)
+                _, wx = embed(pipe.basis, alpha, bits)
+                wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(jnp.bfloat16)
+                imgs = sg2.synthesis(pipe.gen_params, wplus, pipe.noise,
+                                     blur_kernel=mcfg.blur_kernel)
+                return carry + jnp.mean(imgs.astype(jnp.float32)), 0.0
+
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_batches))
+            return acc
+
+        return jax.jit(run)
+
+    seed = [100]
+
+    def fresh_args():
+        seed[0] += 1
+        return (jax.random.PRNGKey(seed[0]),)
+
+    n1, n2 = 2, 6
+    dt = _measure_marginal(make_callable, n1, n2, fresh_args)
+    imgs_per_sec = batch * (n2 - n1) / dt
+
+    # FLOPs of one batch synthesis (scan body counted once by XLA's cost
+    # model, so lower the bare per-batch program).
+    def one_batch(rng):
+        alpha = jax.random.normal(rng, (batch, d - fpcfg.key_len))
+        bits = jnp.asarray(
+            jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5,
+                                 (batch, fpcfg.key_len)), jnp.float32)
+        _, wx = embed(pipe.basis, alpha, bits)
+        wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(jnp.bfloat16)
+        return sg2.synthesis(pipe.gen_params, wplus, pipe.noise,
+                             blur_kernel=mcfg.blur_kernel)
+
+    try:
+        fl_batch = _flops_of(jax.jit(one_batch).lower(jax.random.PRNGKey(0)).compile())
+    except Exception as e:
+        print(f"batch-flops cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        fl_batch = None
+    peak = _peak_flops(jax)
+    mfu = (
+        fl_batch * (n2 - n1) / dt / peak
+        if (fl_batch and peak and dt > 0)
+        else None
+    )
+    return {
+        "metric": f"fingerprinted generation imgs/sec ({img_size}px, bf16, marginal)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_1024, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--preset", choices=["default", "1024px", "generate"], default="default"
+    )
+    parser.add_argument(
+        "--use_pallas", action="store_true",
+        help="route eligible blurs through the Pallas kernels (A/B vs XLA)",
+    )
+    args = parser.parse_args()
+
+    global jax, jnp
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.use_pallas:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d import (
+            enable_pallas,
+        )
+
+        enable_pallas(True)
+
+    last_err: Exception | None = None
+    for attempt in range(RETRIES):
+        try:
+            if args.preset == "generate":
+                out = bench_generate(1024)
+            elif args.preset == "1024px":
+                out = bench_attribution(1024)
+            else:
+                out = bench_attribution(256)
+            print(json.dumps(out))
+            return 0
+        except Exception as e:  # transient axon tunnel errors (FailedPrecondition)
+            last_err = e
+            print(
+                f"bench attempt {attempt + 1}/{RETRIES} failed: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            time.sleep(RETRY_SLEEP_S)
+    raise SystemExit(f"bench failed after {RETRIES} attempts: {last_err}")
 
 
 if __name__ == "__main__":
