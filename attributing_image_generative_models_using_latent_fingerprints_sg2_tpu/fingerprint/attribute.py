@@ -268,6 +268,14 @@ def attribute_chunked(
             pick = lambda a, b: jnp.where(
                 take_new.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
             )
+            # loss_curve is a mean over all restarts seen so far, so merge
+            # as a restart-count-weighted average of the chunk curves.
+            curve = (
+                (best.loss_curve * offset + res.loss_curve * n_c)
+                / (offset + n_c)
+                if best.loss_curve is not None and res.loss_curve is not None
+                else best.loss_curve
+            )
             best = AttributionResult(
                 alpha=pick(res.alpha, best.alpha),
                 key_logits=pick(res.key_logits, best.key_logits),
@@ -275,7 +283,7 @@ def attribute_chunked(
                 loss=jnp.minimum(res.loss, best.loss),
                 losses_all=jnp.concatenate([best.losses_all, res.losses_all], axis=1),
                 best_start=jnp.where(take_new, res.best_start + offset, best.best_start),
-                loss_curve=best.loss_curve,
+                loss_curve=curve,
             )
         offset += n_c
     return best

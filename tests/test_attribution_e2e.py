@@ -135,6 +135,21 @@ def test_attribute_chunked_restarts(pipe):
     assert res.key_bits.shape == (2, 8)
     # best_start indexes into the concatenated restart axis
     assert (np.asarray(res.best_start) < 4).all()
+    # loss_curve merges across chunks: restart-weighted mean of the chunk
+    # curves == the mean over all restarts, i.e. the unchunked curve
+    unchunked_curves = []
+    for c0 in (0, 2):
+        r = attr.attribute(
+            pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+            jax.random.fold_in(jax.random.PRNGKey(21), c0),
+            mcfg=MCFG, acfg=acfg, n_starts=2,
+        )
+        unchunked_curves.append(np.asarray(r.loss_curve))
+    np.testing.assert_allclose(
+        np.asarray(res.loss_curve),
+        (unchunked_curves[0] + unchunked_curves[1]) / 2,
+        rtol=1e-5,
+    )
 
 
 def test_evaluate_attribution_math():
