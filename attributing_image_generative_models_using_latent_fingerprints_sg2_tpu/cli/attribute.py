@@ -25,7 +25,12 @@ from ..fingerprint import attribute as attr
 from ..fingerprint import pipeline as pl
 from ..utils.image import make_image, store_results
 from ..utils.io import make_run_dir, save_config, write_results
-from .common import build_parser, config_from_args, setup_compile_cache
+from .common import (
+    apply_runtime_config,
+    build_parser,
+    config_from_args,
+    setup_compile_cache,
+)
 
 
 def main(argv=None) -> int:
@@ -48,6 +53,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
+    apply_runtime_config(cfg)
 
     from ..checkpoints.state import AttributionRunState, load_state, save_state
 
@@ -78,11 +84,14 @@ def main(argv=None) -> int:
         ckpt_path=cfg.model.ckpt,
         want_lpips=(cfg.attribution.loss == "perceptual"),
     )
-    if cfg.attribution.loss == "perceptual" and (args.lpips_vgg or args.lpips_lin):
+    if cfg.attribution.loss == "perceptual" and (
+        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
+    ):
         from ..losses.lpips import build_lpips_params
 
         pipe.lpips_params = build_lpips_params(
-            jax.random.PRNGKey(0), vgg_path=args.lpips_vgg, lin_path=args.lpips_lin
+            jax.random.PRNGKey(0), vgg_path=args.lpips_vgg, lin_path=args.lpips_lin,
+            net=args.lpips_net,
         )
     print(f"[attribute] pipeline built in {time.time()-t0:.1f}s")
 

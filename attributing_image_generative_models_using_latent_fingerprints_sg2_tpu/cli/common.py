@@ -47,10 +47,14 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--sigma", type=float, default=1.0, help="perturb strength")
     # robustness
     p.add_argument("--augmentation", type=str, default="None",
-                   help="attack: None | Noise | Blur | Jpeg | Combination")
+                   help="attack: None | Noise | Blur | Jpeg | Crop | Combination")
     p.add_argument("--jpeg_quality", type=int, default=50)
     p.add_argument("--noise_sigma", type=float, default=0.1)
     p.add_argument("--blur_sigma", type=float, default=0.5)
+    p.add_argument("--blur_filter_size", type=int, default=25,
+                   help="Blur attack filter size at eval (ref Gaussian_blur.py:16-20)")
+    p.add_argument("--crop_ratio", type=float, default=0.9,
+                   help="Crop attack window ratio (benchmark config 4 extra)")
     # TPU-native extras (no reference equivalent)
     p.add_argument("--seed", type=int, default=0, help="global PRNG seed")
     p.add_argument("--loss", type=str, default="perceptual", help="perceptual | mse")
@@ -58,12 +62,22 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-mesh size (0 = all visible devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-mesh size: shard generator conv channels over "
+                   "this many devices (tensor parallelism; data*model must "
+                   "divide the visible device count)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="route eligible upfirdn2d blurs through the Pallas "
+                   "TPU kernels instead of XLA convs")
     p.add_argument("--random_init", action="store_true",
                    help="random generator weights instead of --ckpt (for smoke runs)")
     p.add_argument("--lpips_vgg", type=str, default=None,
-                   help="path to a torchvision-format VGG16 state dict for exact LPIPS")
+                   help="path to a torchvision-format backbone state dict for exact LPIPS")
     p.add_argument("--lpips_lin", type=str, default=None,
-                   help="path to LPIPS linear-head weights (vgg.pth)")
+                   help="path to LPIPS linear-head weights ({vgg,alex,squeeze}.pth)")
+    p.add_argument("--lpips_net", type=str, default="vgg",
+                   choices=["vgg", "alex", "squeeze"],
+                   help="LPIPS backbone (ref DistModel net arg; pipelines use vgg)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp",
                    help="persistent XLA compilation cache dir ('' disables)")
     return p
@@ -101,6 +115,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             jpeg_quality=args.jpeg_quality,
             noise_sigma=args.noise_sigma,
             blur_sigma=args.blur_sigma,
+            blur_filter_size=args.blur_filter_size,
+            crop_ratio=args.crop_ratio,
         ),
         run=RunConfig(
             sample_size=args.sample_size,
@@ -110,8 +126,18 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dtype=args.dtype,
             remat=args.remat,
             mesh_data=args.mesh_data,
+            mesh_model=args.mesh_model,
+            use_pallas=args.use_pallas,
         ),
     )
+
+
+def apply_runtime_config(cfg: Config) -> None:
+    """Apply config knobs that act via process-global switches."""
+    if cfg.run.use_pallas:
+        from ..ops.upfirdn2d import enable_pallas
+
+        enable_pallas(True)
 
 
 def setup_compile_cache(path: str) -> None:

@@ -16,7 +16,12 @@ import sys
 import jax
 
 from ..eval.sweep import run_sweep, sweep_to_json
-from .common import build_parser, config_from_args, setup_compile_cache
+from .common import (
+    apply_runtime_config,
+    build_parser,
+    config_from_args,
+    setup_compile_cache,
+)
 
 
 def main(argv=None) -> int:
@@ -31,6 +36,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
+    apply_runtime_config(cfg)
 
     pts = run_sweep(
         jax.random.PRNGKey(cfg.run.seed),

@@ -21,13 +21,19 @@ import jax
 from ..fingerprint import pipeline as pl
 from ..utils.image import make_image, store_results, watermark_images
 from ..utils.io import make_run_dir, save_config
-from .common import build_parser, config_from_args, setup_compile_cache
+from .common import (
+    apply_runtime_config,
+    build_parser,
+    config_from_args,
+    setup_compile_cache,
+)
 
 
 def main(argv=None) -> int:
     args = build_parser("TPU-native fingerprinted generation").parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
+    apply_runtime_config(cfg)
 
     run_dir = save_config(
         make_run_dir(

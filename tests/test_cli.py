@@ -101,3 +101,51 @@ def test_cli_rejects_unknown_model(tmp_path):
         main(["--model", "dalle", "--random_init", "--img_size", "16",
               "--sample_size", "1", "--compile_cache", "",
               "--save_dir", str(tmp_path) + "/"])
+
+
+def test_flags_reach_config():
+    """Every attack/parallelism knob is threaded from flags into the config
+    (round-1 gap: --crop_ratio/--blur_filter_size/--mesh_model/--use_pallas
+    existed as config fields but had no flags)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.common import (
+        apply_runtime_config,
+        build_parser,
+        config_from_args,
+    )
+    import importlib
+
+    uf = importlib.import_module(
+        "attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d"
+    )
+
+    args = build_parser("t").parse_args(
+        [
+            "--random_init", "--augmentation", "Crop", "--crop_ratio", "0.8",
+            "--blur_filter_size", "13", "--mesh_model", "2", "--mesh_data", "4",
+            "--use_pallas",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.attack.crop_ratio == 0.8
+    assert cfg.attack.blur_filter_size == 13
+    assert cfg.run.mesh_model == 2
+    assert cfg.run.mesh_data == 4
+    assert cfg.run.use_pallas
+    prev = uf.pallas_enabled()
+    try:
+        apply_runtime_config(cfg)
+        assert uf.pallas_enabled()
+    finally:
+        uf.enable_pallas(prev)
+
+    # attack knobs actually alter the built attack
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.attacks import (
+        make_attack,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    img = jnp.ones((1, 16, 16, 3))
+    fn = make_attack(cfg.attack, is_train=False)
+    out = fn(img, jax.random.PRNGKey(0))
+    assert out.shape == img.shape  # crop + resize back
