@@ -59,20 +59,36 @@ def test_upblur4_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
-def test_dispatcher_routes_and_matches():
-    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
+def test_dispatcher_routes_and_matches(monkeypatch):
+    """Eligible shapes (C=128, out dims sublane-aligned) MUST take the
+    Pallas route --- asserted by spying on _try_pallas, so this test fails
+    if dispatch silently falls back to XLA (round-1 bug: a C=4 input was
+    rejected by the lane gate and the test compared XLA with itself)."""
+    routed = []
+    orig = uf._try_pallas
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        routed.append(out is not None)
+        return out
+
+    monkeypatch.setattr(uf, "_try_pallas", spy)
+    x = jnp.asarray(RNG.standard_normal((1, 9, 9, 128)).astype(np.float32))
     k = make_kernel([1, 3, 3, 1])
-    want = upfirdn2d(x, k, pad=(1, 1))
+    want = upfirdn2d(x, k, pad=(1, 1))  # out 8x8, sublane-aligned
+    xu = jnp.asarray(RNG.standard_normal((1, 8, 8, 128)).astype(np.float32))
+    want_up = upfirdn2d(xu, k * 4.0, up=2, pad=(2, 1))
+    assert routed == []  # pallas disabled: dispatcher not even consulted
     try:
         uf.enable_pallas(True)
         assert uf.pallas_enabled()
         with pltpu.force_tpu_interpret_mode():
             got = upfirdn2d(x, k, pad=(1, 1))
-            got_up = upfirdn2d(x, k * 4.0, up=2, pad=(2, 1))
+            got_up = upfirdn2d(xu, k * 4.0, up=2, pad=(2, 1))
     finally:
         uf.enable_pallas(False)
+    assert routed == [True, True], f"pallas dispatch not taken: {routed}"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
-    want_up = upfirdn2d(x, k * 4.0, up=2, pad=(2, 1))
     np.testing.assert_allclose(np.asarray(got_up), np.asarray(want_up), rtol=1e-4, atol=1e-5)
 
 
