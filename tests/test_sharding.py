@@ -78,15 +78,50 @@ def test_data_parallel_matches_single_device(pipe):
     assert len(res8.loss.sharding.device_set) == 8
 
 
-def test_mesh_2d_with_model_sharding(pipe):
+def test_mesh_2d_with_model_sharding_matches_unsharded(pipe):
+    """Tensor parallelism must be *numerically equivalent*, not just
+    executable: the channel-sharded solve on a 4x2 mesh reproduces the
+    single-device result (same program, same rng; XLA inserts the
+    boundary collectives)."""
     imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(3), 4)
+    rng = jax.random.PRNGKey(4)
+    ref = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs, rng,
+        mcfg=MCFG, acfg=ACFG,
+    )
     mesh = pm.make_mesh(model=2)  # 4 x 2 mesh
     res = attribute_on_mesh(
         mesh, pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
-        jax.random.PRNGKey(4), mcfg=MCFG, acfg=ACFG, shard_model=True,
+        rng, mcfg=MCFG, acfg=ACFG, shard_model=True,
     )
     assert np.isfinite(np.asarray(res.loss)).all()
     assert res.key_bits.shape == (4, 8)
+    # collectives reassociate float sums; allow accumulation-order slack
+    np.testing.assert_allclose(
+        np.asarray(res.loss), np.asarray(ref.loss), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.alpha), np.asarray(ref.alpha), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.key_bits), np.asarray(ref.key_bits)
+    )
+
+
+def test_tp_synthesis_matches_replicated(pipe):
+    """Channel-sharded synthesis (the TP hot path) is numerically equal to
+    replicated synthesis at the pixel level."""
+    w = jax.random.normal(jax.random.PRNGKey(8), (4, MCFG.style_dim))
+    single = pl.synthesize(pipe, w)
+    mesh = pm.make_mesh(model=2)
+    params_tp = pm.shard_generator_params(mesh, pipe.gen_params)
+    noise_r = pm.replicate(mesh, pipe.noise)
+    w_sh = pm.shard_batch(mesh, w)
+    with jax.sharding.set_mesh(mesh):
+        tp = pl._synthesize_core(params_tp, noise_r, w_sh, mcfg=MCFG)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(tp), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_shard_generator_params_placement(pipe):
