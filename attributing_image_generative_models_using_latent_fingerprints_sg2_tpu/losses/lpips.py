@@ -91,6 +91,96 @@ def scaling_layer(x: jax.Array) -> jax.Array:
     return (x - jnp.asarray(_SHIFT, x.dtype)) / jnp.asarray(_SCALE, x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Alternative backbones: AlexNet and SqueezeNet1.1
+# (ref custom_lpips/pretrained_networks.py alexnet/squeezenet slices)
+# ---------------------------------------------------------------------------
+
+ALEX_CHANNELS = (64, 192, 384, 256, 256)
+SQUEEZE_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
+# torchvision alexnet .features conv specs: (cout, k, stride, pad)
+_ALEX_CONVS = ((64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1))
+# squeezenet1_1 fire module plans: (squeeze, expand1x1, expand3x3);
+# fires live at features indices 3,4, 6,7, 9,10,11,12
+_SQUEEZE_FIRES = (
+    (16, 64, 64), (16, 64, 64),
+    (32, 128, 128), (32, 128, 128),
+    (48, 192, 192), (48, 192, 192),
+    (64, 256, 256), (64, 256, 256),
+)
+
+
+def _conv2d(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1, pad: int = 0) -> jax.Array:
+    y = lax.conv_general_dilated(
+        x, p["weight"].astype(x.dtype), (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(y.dtype)
+
+
+def _maxpool(x: jax.Array, k: int = 3, stride: int = 2, ceil_mode: bool = False) -> jax.Array:
+    """kxk/stride max pool; ceil_mode pads the high side with -inf
+    (squeezenet1_1 uses ceil_mode=True)."""
+    ph = pw = 0
+    if ceil_mode:
+        h, w = x.shape[1], x.shape[2]
+        ph = (-(-(h - k) // stride)) * stride + k - h
+        pw = (-(-(w - k) // stride)) * stride + k - w
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, k, k, 1), (1, stride, stride, 1),
+        ((0, 0), (0, max(0, ph)), (0, max(0, pw)), (0, 0)),
+    )
+
+
+def alexnet_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List[jax.Array]:
+    """AlexNet .features slices relu1..relu5
+    (ref pretrained_networks.py alexnet: [0:2],[2:5],[5:8],[8:10],[10:12])."""
+    feats = []
+    x = jax.nn.relu(_conv2d(x, params[0], stride=4, pad=2))
+    feats.append(x)
+    x = jax.nn.relu(_conv2d(_maxpool(x), params[1], pad=2))
+    feats.append(x)
+    x = jax.nn.relu(_conv2d(_maxpool(x), params[2], pad=1))
+    feats.append(x)
+    x = jax.nn.relu(_conv2d(x, params[3], pad=1))
+    feats.append(x)
+    x = jax.nn.relu(_conv2d(x, params[4], pad=1))
+    feats.append(x)
+    return feats
+
+
+def _fire(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
+    """SqueezeNet Fire: 1x1 squeeze -> relu -> (1x1 expand || 3x3 expand)
+    -> relu -> channel concat."""
+    s = jax.nn.relu(_conv2d(x, p["squeeze"]))
+    e1 = jax.nn.relu(_conv2d(s, p["expand1x1"]))
+    e3 = jax.nn.relu(_conv2d(s, p["expand3x3"], pad=1))
+    return jnp.concatenate([e1, e3], axis=-1)
+
+
+def squeezenet_features(params: Dict[str, Any], x: jax.Array) -> List[jax.Array]:
+    """SqueezeNet1.1 .features slices relu1..relu7
+    (ref pretrained_networks.py squeezenet: [0:2],[2:5],[5:8],[8:10],
+    [10:11],[11:12],[12:13]; pools are ceil_mode)."""
+    feats = []
+    x = jax.nn.relu(_conv2d(x, params["conv0"], stride=2))
+    feats.append(x)
+    fires = params["fires"]
+    x = _fire(_fire(_maxpool(x, ceil_mode=True), fires[0]), fires[1])
+    feats.append(x)
+    x = _fire(_fire(_maxpool(x, ceil_mode=True), fires[2]), fires[3])
+    feats.append(x)
+    x = _fire(_maxpool(x, ceil_mode=True), fires[4])
+    feats.append(x)
+    x = _fire(x, fires[5])
+    feats.append(x)
+    x = _fire(x, fires[6])
+    feats.append(x)
+    x = _fire(x, fires[7])
+    feats.append(x)
+    return feats
+
+
 def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
     """Unit-normalize over channels; eps added to the norm (lpips util).
     The norm accumulates in f32 regardless of the feature dtype."""
@@ -100,8 +190,19 @@ def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
 
 
 def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
-    """[-1,1] NHWC image -> list of 5 channel-normalized feature maps."""
-    feats = vgg16_features(params["vgg"], scaling_layer(img))
+    """[-1,1] NHWC image -> list of channel-normalized feature maps.
+
+    Dispatches on ``params['net_type']`` ('vgg16' default | 'alex' |
+    'squeeze'), covering all three reference backbones
+    (custom_lpips/pretrained_networks.py)."""
+    net_type = params.get("net_type", "vgg16")
+    x = scaling_layer(img)
+    if net_type == "alex":
+        feats = alexnet_features(params["net"], x)
+    elif net_type == "squeeze":
+        feats = squeezenet_features(params["net"], x)
+    else:
+        feats = vgg16_features(params["vgg"], x)
     return [normalize_feat(f) for f in feats]
 
 
@@ -157,6 +258,70 @@ def init_lpips_params(key: jax.Array, seed_scale: float = 1.0) -> Dict[str, Any]
     return {"vgg": tuple(vgg), "lin": lin}
 
 
+def _he_conv(key, k, cin, cout, stride_unused=None):
+    w = jax.random.normal(key, (k, k, cin, cout)) * math.sqrt(2.0 / (cin * k * k))
+    return {"weight": w, "bias": jnp.zeros((cout,))}
+
+
+def init_alex_params(key: jax.Array) -> Tuple[Dict[str, jax.Array], ...]:
+    """Random-init AlexNet backbone (degraded mode; see init_lpips_params)."""
+    keys = jax.random.split(key, len(_ALEX_CONVS))
+    convs, cin = [], 3
+    for kk, (cout, ksz, _, _) in zip(keys, _ALEX_CONVS):
+        convs.append(_he_conv(kk, ksz, cin, cout))
+        cin = cout
+    return tuple(convs)
+
+
+def init_squeeze_params(key: jax.Array) -> Dict[str, Any]:
+    """Random-init SqueezeNet1.1 backbone (degraded mode)."""
+    keys = jax.random.split(key, 1 + 3 * len(_SQUEEZE_FIRES))
+    fires, cin = [], 64
+    for i, (s, e1, e3) in enumerate(_SQUEEZE_FIRES):
+        fires.append(
+            {
+                "squeeze": _he_conv(keys[1 + 3 * i], 1, cin, s),
+                "expand1x1": _he_conv(keys[2 + 3 * i], 1, s, e1),
+                "expand3x3": _he_conv(keys[3 + 3 * i], 3, s, e3),
+            }
+        )
+        cin = e1 + e3
+    return {"conv0": _he_conv(keys[0], 3, 3, 64), "fires": tuple(fires)}
+
+
+def alexnet_params_from_torch_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], ...]:
+    """torchvision alexnet ``features.{0,3,6,8,10}`` convs -> HWIO pytree."""
+    convs = []
+    for li in (0, 3, 6, 8, 10):
+        w = np.asarray(sd[f"features.{li}.weight"], np.float32)
+        convs.append(
+            {"weight": np.transpose(w, (2, 3, 1, 0)).copy(),
+             "bias": np.asarray(sd[f"features.{li}.bias"], np.float32)}
+        )
+    return tuple(convs)
+
+
+def squeezenet_params_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision squeezenet1_1 ``features.*`` -> pytree (fires at
+    indices 3,4,6,7,9,10,11,12)."""
+    def conv(prefix):
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+        return {"weight": np.transpose(w, (2, 3, 1, 0)).copy(),
+                "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+    fires = tuple(
+        {
+            "squeeze": conv(f"features.{i}.squeeze"),
+            "expand1x1": conv(f"features.{i}.expand1x1"),
+            "expand3x3": conv(f"features.{i}.expand3x3"),
+        }
+        for i in (3, 4, 6, 7, 9, 10, 11, 12)
+    )
+    return {"conv0": conv("features.0"), "fires": fires}
+
+
 def vgg16_params_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, np.ndarray], ...]:
     """torchvision vgg16 ``features.{i}.weight`` [O,I,3,3] -> HWIO pytree."""
     conv_layer_indices = []
@@ -175,22 +340,24 @@ def vgg16_params_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[
     return tuple(vgg)
 
 
-def lin_weights_from_torch_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[np.ndarray, ...]:
-    """Reference lin-head blob (custom_lpips/weights/v0.1/vgg.pth): keys
-    ``lin{k}.model.1.weight`` with shape [1, C, 1, 1] -> [C] vectors."""
+def lin_weights_from_torch_state_dict(
+    sd: Dict[str, np.ndarray], n_layers: int = 5
+) -> Tuple[np.ndarray, ...]:
+    """Reference lin-head blob (custom_lpips/weights/v0.1/{vgg,alex,squeeze}.pth):
+    keys ``lin{k}.model.1.weight`` with shape [1, C, 1, 1] -> [C] vectors."""
     lins = []
-    for k in range(5):
+    for k in range(n_layers):
         w = np.asarray(sd[f"lin{k}.model.1.weight"], np.float32).reshape(-1)
         lins.append(w)
     return tuple(lins)
 
 
-def load_lin_weights_torch(path: str) -> Tuple[np.ndarray, ...]:
+def load_lin_weights_torch(path: str, n_layers: int = 5) -> Tuple[np.ndarray, ...]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     return lin_weights_from_torch_state_dict(
-        {k: v.detach().numpy() for k, v in sd.items()}
+        {k: v.detach().numpy() for k, v in sd.items()}, n_layers=n_layers
     )
 
 
@@ -209,16 +376,60 @@ def build_lpips_params(
     key: jax.Array,
     vgg_path: str | None = None,
     lin_path: str | None = None,
+    net: str = "vgg",
 ) -> Dict[str, Any]:
-    """Assemble LPIPS params, loading pretrained pieces where available."""
-    params = init_lpips_params(key)
-    if vgg_path is not None:
-        params = dict(params, vgg=jax.tree.map(jnp.asarray, load_vgg_backbone_torch(vgg_path)))
+    """Assemble LPIPS params, loading pretrained pieces where available.
+
+    ``net``: 'vgg' | 'alex' | 'squeeze' (ref DistModel.initialize net arg,
+    dist_model.py:28-73).  ``vgg_path`` is the backbone state-dict path for
+    whichever net is selected; ``lin_path`` the matching lin-head blob
+    (custom_lpips/weights/v0.1/{vgg,alex,squeeze}.pth)."""
+    if net in ("vgg", "vgg16"):
+        params = init_lpips_params(key)
+        if vgg_path is not None:
+            params = dict(
+                params, vgg=jax.tree.map(jnp.asarray, load_vgg_backbone_torch(vgg_path))
+            )
+        chans = LPIPS_CHANNELS
+    elif net == "alex":
+        params = {
+            "net_type": "alex",
+            "net": init_alex_params(key),
+            "lin": tuple(jnp.ones((c,)) / c for c in ALEX_CHANNELS),
+        }
+        if vgg_path is not None:
+            sd = _load_torch_sd(vgg_path)
+            params["net"] = jax.tree.map(
+                jnp.asarray, alexnet_params_from_torch_state_dict(sd)
+            )
+        chans = ALEX_CHANNELS
+    elif net == "squeeze":
+        params = {
+            "net_type": "squeeze",
+            "net": init_squeeze_params(key),
+            "lin": tuple(jnp.ones((c,)) / c for c in SQUEEZE_CHANNELS),
+        }
+        if vgg_path is not None:
+            sd = _load_torch_sd(vgg_path)
+            params["net"] = jax.tree.map(
+                jnp.asarray, squeezenet_params_from_torch_state_dict(sd)
+            )
+        chans = SQUEEZE_CHANNELS
+    else:
+        raise ValueError(f"unknown LPIPS net {net!r} (vgg | alex | squeeze)")
     if lin_path is not None:
-        params = dict(
-            params, lin=tuple(jnp.asarray(w) for w in load_lin_weights_torch(lin_path))
-        )
+        lins = load_lin_weights_torch(path=lin_path, n_layers=len(chans))
+        params = dict(params, lin=tuple(jnp.asarray(w) for w in lins))
     return params
+
+
+def _load_torch_sd(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: np.asarray(v.detach().float().numpy()) for k, v in sd.items()}
 
 
 # ---------------------------------------------------------------------------
