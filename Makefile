@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench dryrun clean
+.PHONY: all native test test-fast bench dryrun parity clean
 
 all: native
 
@@ -21,6 +21,19 @@ bench:
 dryrun:
 	JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  $(PY) -c "import jax; jax.config.update('jax_platforms','cpu'); import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Quality-parity readiness: the >=95% bit-acc north-star check
+# (BASELINE.json config 2: steps=200, sample_size=5, n=4; ref defaults
+# /root/reference/src/main.py:93-154) the moment real weights exist.
+#   make parity CKPT=ffhq-550000.pt VGG=vgg16.pth LIN=lpips_vgg.pth
+# Writes per-sample bit acc + attribution acc to result/parity/.../result.txt.
+parity:
+	@test -n "$(CKPT)" || (echo "usage: make parity CKPT=<rosinality.pt> [VGG=<vgg16 state dict>] [LIN=<lpips vgg.pth>]"; exit 1)
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.attribute \
+	  --ckpt $(CKPT) $(if $(VGG),--lpips_vgg $(VGG)) $(if $(LIN),--lpips_lin $(LIN)) \
+	  --img_size 256 --key_len 64 --shift 448 --sigma 1 \
+	  --steps 200 --sample_size 5 --n 4 --dtype bfloat16 \
+	  --save_dir ./result/parity/
 
 clean:
 	$(MAKE) -C native clean
