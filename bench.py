@@ -98,7 +98,9 @@ def _measure_marginal(make_fn, s1: int, s2: int, fresh_args):
     return diffs[1]
 
 
-def bench_attribution(img_size: int) -> dict:
+def bench_attribution(
+    img_size: int, samples: int = 0, n_starts: int = 0, loss: str = "perceptual"
+) -> dict:
     import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
@@ -122,14 +124,14 @@ def bench_attribution(img_size: int) -> dict:
     mcfg = ModelConfig(img_size=img_size)
     fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
     if img_size >= 1024:
-        samples, n_starts, s1, s2 = 2, 2, 4, 12
+        samples, n_starts, s1, s2 = samples or 2, n_starts or 2, 4, 12
         remat, ref = True, REF_STEPS_PER_SEC_1024
     else:
-        samples, n_starts, s1, s2 = 4, 4, 10, 30
+        samples, n_starts, s1, s2 = samples or 4, n_starts or 4, 10, 30
         remat, ref = False, REF_STEPS_PER_SEC_256
     chains = samples * n_starts
 
-    acfg = AttributionConfig(steps=s2, n_starts=n_starts, lr=0.2, loss="perceptual")
+    acfg = AttributionConfig(steps=s2, n_starts=n_starts, lr=0.2, loss=loss)
     pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
     lpips_params = init_lpips_params(jax.random.PRNGKey(1))
     imgs, _, _, _, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(2), samples)
@@ -191,10 +193,15 @@ def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
 
     s_ = targets.shape[0]
     n_ = acfg.n_starts
-    tf = lpips_mod.extract_features(
-        lpips_params, jnp.asarray(targets).astype(jnp.bfloat16)
-    )
-    target_feats = tuple(f[:, None] for f in tf)
+    if acfg.loss == "perceptual":
+        tf = lpips_mod.extract_features(
+            lpips_params, jnp.asarray(targets).astype(jnp.bfloat16)
+        )
+        target_feats = tuple(f[:, None] for f in tf)
+        tgt = None
+    else:
+        target_feats = None
+        tgt = jnp.asarray(targets).astype(jnp.float32)[:, None]
     alpha0 = lhs_alpha_init_batch(
         jax.random.PRNGKey(0), s_, n_, pipe.basis.sigma_rest
     )
@@ -204,7 +211,7 @@ def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
     opt_state = optimizer.init(opt_params)
     step = attr.make_attribution_step(
         pipe.gen_params, lpips_params, pipe.basis, pipe.noise, mcfg, acfg,
-        target_feats, None, optimizer, remat=remat, dtype=jnp.bfloat16,
+        target_feats, tgt, optimizer, remat=remat, dtype=jnp.bfloat16,
     )
     fn = jax.jit(lambda c: step(c, None)[0])
     try:
@@ -310,6 +317,12 @@ def main() -> int:
         "--use_pallas", action="store_true",
         help="route eligible blurs through the Pallas kernels (A/B vs XLA)",
     )
+    parser.add_argument("--samples", type=int, default=0,
+                        help="override sample count (attribution presets)")
+    parser.add_argument("--n_starts", type=int, default=0,
+                        help="override restarts per sample (attribution presets)")
+    parser.add_argument("--loss", choices=["perceptual", "mse"], default="perceptual",
+                        help="ablation: mse isolates generator fwd+bwd cost")
     args = parser.parse_args()
 
     global jax, jnp
@@ -332,9 +345,9 @@ def main() -> int:
             if args.preset == "generate":
                 out = bench_generate(1024)
             elif args.preset == "1024px":
-                out = bench_attribution(1024)
+                out = bench_attribution(1024, args.samples, args.n_starts, args.loss)
             else:
-                out = bench_attribution(256)
+                out = bench_attribution(256, args.samples, args.n_starts, args.loss)
             print(json.dumps(out))
             return 0
         except Exception as e:  # transient axon tunnel errors (FailedPrecondition)
