@@ -87,6 +87,7 @@ def make_attribution_step(
     targets,
     optimizer: optax.GradientTransformation,
     remat: bool = False,
+    remat_lpips: bool = False,
     dtype: jnp.dtype = jnp.float32,
     biggan_cfg=None,
     class_onehot=None,
@@ -122,7 +123,14 @@ def make_attribution_step(
             )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state
             # and loss accumulation stay f32, synthesis/VGG in `dtype`)
         if acfg.loss == "perceptual":
-            feats = lpips_mod.extract_features(lpips_params, imgs)
+            extract = lpips_mod.extract_features
+            if remat_lpips:
+                # The LPIPS segment is HBM-bandwidth-bound (BASELINE.md
+                # ablation): recomputing VGG activations in the backward
+                # instead of spilling them trades spare MXU flops for the
+                # dominant activation traffic.
+                extract = jax.checkpoint(extract, static_argnums=())
+            feats = extract(lpips_params, imgs)
             feats = [f.reshape((s_, n_) + f.shape[1:]) for f in feats]
             per = lpips_mod.distance_from_features(lpips_params, target_feats, feats)
         else:
@@ -150,7 +158,8 @@ def make_attribution_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "mcfg", "acfg", "n_starts", "steps", "remat", "dtype", "biggan_cfg", "truncation",
+        "mcfg", "acfg", "n_starts", "steps", "remat", "remat_lpips", "dtype",
+        "biggan_cfg", "truncation",
     ),
 )
 def attribute(
@@ -166,6 +175,7 @@ def attribute(
     n_starts: Optional[int] = None,
     steps: Optional[int] = None,
     remat: bool = False,
+    remat_lpips: bool = False,
     dtype: str = "float32",
     biggan_cfg=None,
     class_onehot: Optional[jax.Array] = None,
@@ -199,8 +209,9 @@ def attribute(
     opt_state = optimizer.init(opt_params)
     step = make_attribution_step(
         gen_params, lpips_params, basis, noise, mcfg, acfg,
-        target_feats, tgt, optimizer, remat=remat, dtype=cdtype,
-        biggan_cfg=biggan_cfg, class_onehot=class_onehot, truncation=truncation,
+        target_feats, tgt, optimizer, remat=remat, remat_lpips=remat_lpips,
+        dtype=cdtype, biggan_cfg=biggan_cfg, class_onehot=class_onehot,
+        truncation=truncation,
     )
 
     (opt_params, _), per = jax.lax.scan(

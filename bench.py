@@ -99,7 +99,8 @@ def _measure_marginal(make_fn, s1: int, s2: int, fresh_args):
 
 
 def bench_attribution(
-    img_size: int, samples: int = 0, n_starts: int = 0, loss: str = "perceptual"
+    img_size: int, samples: int = 0, n_starts: int = 0, loss: str = "perceptual",
+    remat_lpips: bool = False,
 ) -> dict:
     import numpy as np
 
@@ -142,7 +143,8 @@ def bench_attribution(
             return attr.attribute(
                 pipe.gen_params, lpips_params, pipe.basis, pipe.noise,
                 jnp.asarray(tgt), rng,
-                mcfg=mcfg, acfg=acfg, steps=steps, remat=remat, dtype="bfloat16",
+                mcfg=mcfg, acfg=acfg, steps=steps, remat=remat,
+                remat_lpips=remat_lpips, dtype="bfloat16",
             ).loss
 
         return jax.jit(call)
@@ -323,6 +325,8 @@ def main() -> int:
                         help="override restarts per sample (attribution presets)")
     parser.add_argument("--loss", choices=["perceptual", "mse"], default="perceptual",
                         help="ablation: mse isolates generator fwd+bwd cost")
+    parser.add_argument("--remat_lpips", action="store_true",
+                        help="recompute VGG activations in backward (A/B)")
     args = parser.parse_args()
 
     global jax, jnp
@@ -345,9 +349,11 @@ def main() -> int:
             if args.preset == "generate":
                 out = bench_generate(1024)
             elif args.preset == "1024px":
-                out = bench_attribution(1024, args.samples, args.n_starts, args.loss)
+                out = bench_attribution(
+                    1024, args.samples, args.n_starts, args.loss, args.remat_lpips)
             else:
-                out = bench_attribution(256, args.samples, args.n_starts, args.loss)
+                out = bench_attribution(
+                    256, args.samples, args.n_starts, args.loss, args.remat_lpips)
             print(json.dumps(out))
             return 0
         except Exception as e:  # transient axon tunnel errors (FailedPrecondition)
