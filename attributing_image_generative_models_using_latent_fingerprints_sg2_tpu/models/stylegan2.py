@@ -471,10 +471,18 @@ def generate(
     truncation: float = 1.0,
     truncation_latent: Optional[jax.Array] = None,
     fixed_noise: bool = False,
+    noise_rng: Optional[jax.Array] = None,
     return_latents: bool = False,
     remat: bool = False,
 ):
-    """Full generator forward, contract per ref src/model.py:499-572."""
+    """Full generator forward, contract per ref src/model.py:499-572.
+
+    Noise selection mirrors the reference's three modes
+    (src/model.py:513-520): an explicit ``noise`` list wins;
+    ``fixed_noise=True`` uses the checkpoint's noise buffers
+    (randomize_noise=False); ``noise_rng`` draws fresh per-call noise
+    (randomize_noise=True, but from an explicit key --- this framework has
+    no hidden RNG state); all unset means no injection."""
     latent = prepare_latent(
         params,
         styles,
@@ -486,6 +494,8 @@ def generate(
     )
     if noise is None and fixed_noise:
         noise = params["noises"]
+    elif noise is None and noise_rng is not None:
+        noise = make_noise(noise_rng, cfg.img_size)
     img = synthesis(params, latent, noise, blur_kernel=cfg.blur_kernel, remat=remat)
     if return_latents:
         return img, latent
