@@ -219,6 +219,33 @@ def test_upfirdn2d_op_parity(ref_model):
         )
         np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)
 
+    # randomized property sweep: arbitrary (up, down, pads, ksize incl.
+    # non-separable), the reference op as the oracle
+    for trial in range(25):
+        trng = np.random.default_rng(100 + trial)
+        up = int(trng.integers(1, 4))
+        down = int(trng.integers(1, 4))
+        kh, kw = int(trng.integers(1, 6)), int(trng.integers(1, 6))
+        kern = trng.standard_normal((kh, kw)).astype(np.float32)
+        h, w = int(trng.integers(4, 12)), int(trng.integers(4, 12))
+        lim_h, lim_w = max(kh - h * up, 0), max(kw - w * up, 0)
+        pad = (
+            int(trng.integers(lim_w, 4)), int(trng.integers(0, 4)),
+            int(trng.integers(lim_h, 4)), int(trng.integers(0, 4)),
+        )
+        x = trng.standard_normal((1, 3, h, w)).astype(np.float32)
+        ref = ref_upfirdn2d(
+            torch.from_numpy(x), torch.from_numpy(kern), up=up, down=down,
+            pad=pad,
+        ).numpy()
+        ours = np.asarray(
+            upfirdn2d_nchw(jnp.asarray(x), kern, up=up, down=down, pad=pad)
+        )
+        np.testing.assert_allclose(
+            ours, ref, atol=1e-5, rtol=1e-4,
+            err_msg=f"trial {trial}: up={up} down={down} k=({kh},{kw}) pad={pad}",
+        )
+
 
 def test_fused_leaky_relu_parity(ref_model):
     """Our fused bias+LeakyReLU vs the reference op (CPU fallback,
