@@ -14,6 +14,8 @@ steps with a [sample_size x n] generator batch.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import sys
 import time
 
@@ -50,6 +52,12 @@ def main(argv=None) -> int:
         help="resume an interrupted run from its run dir (uses the saved "
         "attribution_state.json; seeds and sample order are reproduced)",
     )
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="record per-phase wall-clock timings (and a jax.profiler "
+        "trace of the first solve chunk into <run_dir>/trace) and print "
+        "the report at exit",
+    )
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
@@ -77,13 +85,16 @@ def main(argv=None) -> int:
 
     key = jax.random.PRNGKey(cfg.run.seed)
     k_build, k_gen, k_atk, k_opt = jax.random.split(key, 4)
+    from ..utils import profiling as prof
+
     t0 = time.time()
-    pipe = pl.build_pipeline(
-        k_build, cfg.model, cfg.fingerprint,
-        attack_cfg=cfg.attack if cfg.attack.augmentation != "None" else None,
-        ckpt_path=cfg.model.ckpt,
-        want_lpips=(cfg.attribution.loss == "perceptual"),
-    )
+    with prof.phase("build_pipeline"):
+        pipe = pl.build_pipeline(
+            k_build, cfg.model, cfg.fingerprint,
+            attack_cfg=cfg.attack if cfg.attack.augmentation != "None" else None,
+            ckpt_path=cfg.model.ckpt,
+            want_lpips=(cfg.attribution.loss == "perceptual"),
+        )
     if cfg.attribution.loss == "perceptual" and (
         args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
     ):
@@ -98,9 +109,11 @@ def main(argv=None) -> int:
     s_total = cfg.run.sample_size
     # --- generate all targets with known keys -----------------------------
     t0 = time.time()
-    imgs, w0, wx, true_bits, _ = pl.generate_fingerprinted(pipe, k_gen, s_total)
-    targets = pl.augment(pipe, jnp.clip(imgs, -1.0, 1.0), k_atk)
-    targets = jax.lax.stop_gradient(targets)
+    with prof.device_phase("generate_targets") as box:
+        imgs, w0, wx, true_bits, _ = pl.generate_fingerprinted(pipe, k_gen, s_total)
+        targets = pl.augment(pipe, jnp.clip(imgs, -1.0, 1.0), k_atk)
+        targets = jax.lax.stop_gradient(targets)
+        box.append(targets)
     print(f"[attribute] {s_total} targets generated in {time.time()-t0:.1f}s")
 
     # --- solve -------------------------------------------------------------
@@ -117,6 +130,7 @@ def main(argv=None) -> int:
     chunk = args.chunk_samples or s_total
     bit_accs = list(state.bit_accs)
     success = state.success
+    first_chunk = state.next_sample  # state.next_sample mutates in the loop
     t_solve = time.time()
     for c0 in range(state.next_sample, s_total, chunk):
         c1 = min(c0 + chunk, s_total)
@@ -129,25 +143,34 @@ def main(argv=None) -> int:
             class_onehot=pipe.class_onehot,
             truncation=pipe.truncation,
         )
-        if mesh is not None and (c1 - c0) % mesh.shape["data"] == 0:
-            from ..parallel.solver import attribute_on_mesh
+        # jax.profiler trace of the first solve chunk (--profile);
+        # prof.trace degrades to a warning on platforms without profiler
+        trace_ctx = (
+            prof.trace(os.path.join(run_dir, "trace"))
+            if args.profile and c0 == first_chunk
+            else contextlib.nullcontext()
+        )
+        with prof.device_phase("solve_chunk") as box, trace_ctx:
+            if mesh is not None and (c1 - c0) % mesh.shape["data"] == 0:
+                from ..parallel.solver import attribute_on_mesh
 
-            res = attribute_on_mesh(
-                mesh, pipe.gen_params, pipe.lpips_params, pipe.basis, pipe.noise,
-                targets[c0:c1], jax.random.fold_in(k_opt, c0),
-                shard_model=(cfg.run.mesh_model > 1), **kw,
-            )
-        else:
-            res = attr.attribute_chunked(
-                pipe.gen_params,
-                pipe.lpips_params,
-                pipe.basis,
-                pipe.noise,
-                targets[c0:c1],
-                jax.random.fold_in(k_opt, c0),
-                chunk_starts=args.chunk_starts,
-                **kw,
-            )
+                res = attribute_on_mesh(
+                    mesh, pipe.gen_params, pipe.lpips_params, pipe.basis, pipe.noise,
+                    targets[c0:c1], jax.random.fold_in(k_opt, c0),
+                    shard_model=(cfg.run.mesh_model > 1), **kw,
+                )
+            else:
+                res = attr.attribute_chunked(
+                    pipe.gen_params,
+                    pipe.lpips_params,
+                    pipe.basis,
+                    pipe.noise,
+                    targets[c0:c1],
+                    jax.random.fold_in(k_opt, c0),
+                    chunk_starts=args.chunk_starts,
+                    **kw,
+                )
+            box.append(res.loss)
         ev = attr.evaluate_attribution(res, true_bits[c0:c1])
         accs = np.asarray(ev["bit_acc"])
         for i, a in enumerate(accs):
@@ -185,6 +208,9 @@ def main(argv=None) -> int:
             f"[attribute] {dt:.1f}s solve; {total_steps/dt:.2f} sample-steps/s "
             f"(x{cfg.attribution.n_starts} restarts each)"
         )
+    if args.profile:
+        print("[attribute] phase report:")
+        print(prof.format_report())
     return 0
 
 

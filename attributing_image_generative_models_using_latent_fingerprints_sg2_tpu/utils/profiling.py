@@ -87,11 +87,24 @@ def format_report(reset: bool = False) -> str:
 
 @contextlib.contextmanager
 def trace(log_dir: str) -> Iterator[None]:
-    """jax.profiler trace of the enclosed block (TensorBoard format)."""
+    """jax.profiler trace of the enclosed block (TensorBoard format).
+
+    Tolerant: if the profiler cannot start/stop on this platform (e.g.
+    experimental backends), the enclosed block still runs and a warning is
+    printed instead of failing the caller."""
     import jax
 
-    jax.profiler.start_trace(log_dir)
+    started = False
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception as e:  # profiler unsupported on this backend
+        print(f"[profiling] trace unavailable: {type(e).__name__}: {e}")
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                print(f"[profiling] trace stop failed: {type(e).__name__}: {e}")

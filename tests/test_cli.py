@@ -149,3 +149,21 @@ def test_flags_reach_config():
     fn = make_attack(cfg.attack, is_train=False)
     out = fn(img, jax.random.PRNGKey(0))
     assert out.shape == img.shape  # crop + resize back
+
+
+def test_attribute_cli_profile(tmp_path):
+    """--profile prints the phase report and survives platforms without a
+    working jax.profiler (prof.trace degrades to a warning)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+        attribute as attribute_cli,
+    )
+
+    rc = attribute_cli.main(
+        [
+            "--random_init", "--model", "sg2", "--img_size", "16",
+            "--sample_size", "2", "--key_len", "8", "--shift", "504",
+            "--steps", "5", "--n", "2", "--loss", "mse",
+            "--save_dir", str(tmp_path), "--compile_cache", "", "--profile",
+        ]
+    )
+    assert rc == 0
