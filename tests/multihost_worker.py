@@ -1,0 +1,72 @@
+"""Worker script for tests/test_multihost.py — one distributed process.
+
+Joins a 2-process jax.distributed job (4 virtual CPU devices each = 8
+global), builds the host-identical pipeline from a fixed seed, solves the
+attribution for ITS HALF of the samples over the global mesh, and writes
+the allgathered results to an npz for the parent test to compare against
+the single-process solve.
+
+Run:  python multihost_worker.py <process_id> <port> <out.npz>
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel import (
+        multihost as mh,
+    )
+
+    mh.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    import numpy as np
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        AttributionConfig,
+        FingerprintConfig,
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as pl,
+    )
+
+    mcfg = ModelConfig(img_size=16, channel_max=64, n_mlp=2, style_dim=64)
+    fpcfg = FingerprintConfig(key_len=8, shift=56, sigma=1.0, n_pca_samples=500)
+    acfg = AttributionConfig(steps=10, n_starts=2, lr=0.2, loss="mse")
+
+    # host-identical build (same seed on every process)
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(1), 8)
+    imgs_np = np.asarray(imgs)
+
+    # each process owns half the samples (by process id)
+    local = imgs_np[pid * 4 : (pid + 1) * 4]
+    mesh = mh.global_mesh()
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+
+    res = mh.attribute_multihost(
+        mesh, pipe.gen_params, None, pipe.basis, pipe.noise, local,
+        jax.random.PRNGKey(2), mcfg=mcfg, acfg=acfg,
+    )
+    loss = mh.process_allgather(res.loss)  # [8], identical on both hosts
+    bits_rec = mh.process_allgather(res.key_bits)  # [8, 8]
+    np.savez(out_path, loss=loss, bits=bits_rec, true_bits=np.asarray(bits))
+    print(f"[p{pid}] done: loss={loss.round(4).tolist()}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
