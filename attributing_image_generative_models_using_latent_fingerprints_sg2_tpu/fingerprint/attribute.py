@@ -301,15 +301,32 @@ def attribute_chunked(
 
 
 def evaluate_attribution(
-    result: AttributionResult, true_keys: jax.Array
+    result: AttributionResult,
+    true_keys: jax.Array,
+    *,
+    basis: Optional[FingerprintBasis] = None,
+    true_w0: Optional[jax.Array] = None,
 ) -> Dict[str, Any]:
     """Bit accuracy + exact-match attribution accuracy
-    (ref src/main.py:72,146-148)."""
+    (ref src/main.py:72,146-148).
+
+    With ``basis`` and ``true_w0`` also reports the cosine similarity of
+    the recovered content latent to the true one --- the reference's
+    check_similarity experiment (src/unused_code_backup/
+    check_similarity.py:22-27), promoted to a wired metric.
+    """
     acc = bit_accuracy(result.key_bits, true_keys)  # [S]
     exact = (acc >= 1.0).astype(jnp.float32)
-    return {
+    out: Dict[str, Any] = {
         "bit_acc": acc,
         "mean_bit_acc": jnp.mean(acc),
         "attribution_acc": jnp.mean(exact),
         "exact": exact,
     }
+    if basis is not None and true_w0 is not None:
+        w0_rec = content_latent(basis, result.alpha)  # [S, D]
+        num = jnp.sum(w0_rec * true_w0, axis=-1)
+        den = jnp.linalg.norm(w0_rec, axis=-1) * jnp.linalg.norm(true_w0, axis=-1)
+        out["latent_cos"] = num / jnp.maximum(den, 1e-12)
+        out["mean_latent_cos"] = jnp.mean(out["latent_cos"])
+    return out

@@ -210,6 +210,18 @@ def _depth_to_space2(y4: jax.Array, out_ch: int) -> jax.Array:
     return y.reshape(b, 2 * h, 2 * w, out_ch)
 
 
+# Process-global switch for the polyphase fused upsample path (see
+# _compose_polyphase_up_kernel): measured slower at 256px attribution
+# (depth-to-space relayout), re-measurable per workload via
+# enable_fused_upsample / bench.py --fused_upsample.
+_FUSED_UPSAMPLE = False
+
+
+def enable_fused_upsample(on: bool = True) -> None:
+    global _FUSED_UPSAMPLE
+    _FUSED_UPSAMPLE = bool(on)
+
+
 def modulated_conv2d(
     x: jax.Array,
     w_latent: jax.Array,
@@ -220,7 +232,7 @@ def modulated_conv2d(
     demodulate: bool = True,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
     eps: float = 1e-8,
-    fused_upsample: bool = False,
+    fused_upsample: Optional[bool] = None,
 ) -> jax.Array:
     """Style-modulated convolution, batched via the scaling identity.
 
@@ -245,6 +257,8 @@ def modulated_conv2d(
     xs = x * style[:, None, None, :].astype(x.dtype)
     w = (weight * scale).astype(x.dtype)
 
+    if fused_upsample is None:
+        fused_upsample = _FUSED_UPSAMPLE
     if upsample:
         if fused_upsample and kh == 3 and len(blur_kernel) == 4:
             # polyphase: conv_transpose + blur folded into one dense conv

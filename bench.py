@@ -327,6 +327,8 @@ def main() -> int:
                         help="ablation: mse isolates generator fwd+bwd cost")
     parser.add_argument("--remat_lpips", action="store_true",
                         help="recompute VGG activations in backward (A/B)")
+    parser.add_argument("--fused_upsample", action="store_true",
+                        help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     args = parser.parse_args()
 
     global jax, jnp
@@ -342,6 +344,12 @@ def main() -> int:
         )
 
         enable_pallas(True)
+    if args.fused_upsample:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
+            enable_fused_upsample,
+        )
+
+        enable_fused_upsample(True)
 
     last_err: Exception | None = None
     for attempt in range(RETRIES):

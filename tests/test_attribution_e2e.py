@@ -192,3 +192,19 @@ def test_remat_lpips_is_identity(pipe):
     np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha), rtol=5e-2, atol=1e-3)
     agree = (np.asarray(a.key_bits) == np.asarray(b.key_bits)).mean()
     assert agree >= 0.9, agree
+
+
+def test_latent_cosine_metric(pipe, solved):
+    """Recovered content latents align with the true ones (the reference's
+    check_similarity experiment, promoted to a wired metric)."""
+    res, bits = solved
+    imgs, w0, wx, bits2, alpha = pl.generate_fingerprinted(
+        pipe, jax.random.PRNGKey(1), 3
+    )
+    ev = attr.evaluate_attribution(res, bits, basis=pipe.basis, true_w0=w0)
+    cos = np.asarray(ev["latent_cos"])
+    assert cos.shape == (3,)
+    # the exact recoveries (bit acc 1.0) must align nearly perfectly
+    exact = np.asarray(ev["exact"]).astype(bool)
+    assert (cos[exact] > 0.99).all(), cos
+    assert float(ev["mean_latent_cos"]) > 0.9
