@@ -210,15 +210,23 @@ def distance_from_features(
     params: Dict[str, Any],
     feats0: Sequence[jax.Array],
     feats1: Sequence[jax.Array],
-) -> jax.Array:
-    """Per-sample LPIPS distance [B] from pre-normalized features."""
+    ret_per_layer: bool = False,
+):
+    """Per-sample LPIPS distance [B] from pre-normalized features.
+
+    ``ret_per_layer=True`` additionally returns the per-layer distances
+    (ref PNetLin.forward retPerLayer, networks_basic.py:88-91)."""
     total = None
+    per_layer = []
     for f0, f1, lin_w in zip(feats0, feats1, params["lin"]):
         # diff/square/accumulate in f32 even for bf16 features
         diff2 = jnp.square(f0.astype(jnp.float32) - f1.astype(jnp.float32))
         # 1x1 conv head == channel-weighted sum; then spatial mean.
         d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(-2, -1))  # [...]
+        per_layer.append(d)
         total = d if total is None else total + d
+    if ret_per_layer:
+        return total, per_layer
     return total
 
 

@@ -141,3 +141,15 @@ def train_lin_heads(
             trainable, opt_state, b["ref"], b["p0"], b["p1"], b["judge"]
         )
     return dict(lpips_params, lin=trainable["lin"]), trainable["rank"]
+
+
+def save_lin_weights(path: str, lin) -> None:
+    """Persist trained lin heads (ref base_model.py save_network, but as a
+    portable npz instead of a torch pickle)."""
+    np.savez(path, **{f"lin{k}": np.asarray(w) for k, w in enumerate(lin)})
+
+
+def load_lin_weights(path: str):
+    """Inverse of save_lin_weights -> tuple of [C] arrays."""
+    with np.load(path) as z:
+        return tuple(jnp.asarray(z[f"lin{k}"]) for k in range(len(z.files)))

@@ -66,3 +66,36 @@ def test_train_lin_heads_improves_ranking():
     d1 = np.asarray(L.lpips(new_lp, ref, p1))
     # gts=0 (humans pick p0) and d0 << d1 -> full agreement
     assert LT.score_2afc(d0, d1, np.zeros(8)) > 0.9
+
+
+def test_lin_weights_save_load_roundtrip(tmp_path):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses.lpips_train import (
+        load_lin_weights,
+        save_lin_weights,
+    )
+
+    lin = tuple(jnp.asarray(np.random.default_rng(k).uniform(0, 1, (c,)).astype(np.float32))
+                for k, c in enumerate((4, 8, 16)))
+    p = str(tmp_path / "lin.npz")
+    save_lin_weights(p, lin)
+    back = load_lin_weights(p)
+    assert len(back) == 3
+    for a, b in zip(lin, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distance_ret_per_layer():
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses import (
+        lpips as lp,
+    )
+
+    params = lp.init_lpips_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    f0, f1 = lp.extract_features(params, a), lp.extract_features(params, b)
+    total, per = lp.distance_from_features(params, f0, f1, ret_per_layer=True)
+    assert len(per) == 5
+    np.testing.assert_allclose(
+        np.asarray(total), np.sum([np.asarray(d) for d in per], axis=0), rtol=1e-6
+    )
