@@ -24,6 +24,7 @@ Presets (``python bench.py [--preset P]``):
 - ``default``  --- 256px attribution, bf16, 16 chains (the headline metric)
 - ``1024px``   --- 1024px attribution, bf16 + remat, 4 chains
 - ``generate`` --- 1024px fingerprinted generation, bf16, imgs/sec
+- ``biggan``   --- 256px BigGAN-deep fingerprinted generation, bf16
 
 Output: ONE JSON line {metric, value, unit, vs_baseline, mfu, ...}.
 
@@ -310,10 +311,76 @@ def bench_generate(img_size: int = 1024) -> dict:
     }
 
 
+def bench_biggan(img_size: int = 256) -> dict:
+    """Fingerprinted BigGAN-deep generation (the reference's second model
+    family, src/generator.py:53-64) — random-init weights, bf16."""
+    import numpy as np
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        FingerprintConfig,
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as pl,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.embed import (
+        embed,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models import (
+        biggan as bg,
+    )
+
+    mcfg = ModelConfig(model="biggan", img_size=img_size)
+    fpcfg = FingerprintConfig(key_len=64, shift=64, n_pca_samples=2048)
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    batch = 8
+    d = pipe.basis.u_cap.shape[1]
+
+    def make_callable(n_batches):
+        def run(rng):
+            def body(carry, i):
+                r = jax.random.fold_in(rng, i)
+                alpha = jax.random.normal(r, (batch, d - fpcfg.key_len))
+                bits = jnp.asarray(
+                    jax.random.bernoulli(jax.random.fold_in(r, 1), 0.5,
+                                         (batch, fpcfg.key_len)), jnp.float32)
+                _, wx = embed(pipe.basis, alpha, bits)
+                onehot = jnp.broadcast_to(
+                    pipe.class_onehot, (batch,) + pipe.class_onehot.shape[1:]
+                )
+                imgs = bg.generate(
+                    pipe.gen_params, wx.astype(jnp.bfloat16), onehot,
+                    pipe.truncation, pipe.biggan_cfg,
+                )
+                return carry + jnp.mean(imgs.astype(jnp.float32)), 0.0
+
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_batches))
+            return acc
+
+        return jax.jit(run)
+
+    seed = [200]
+
+    def fresh_args():
+        seed[0] += 1
+        return (jax.random.PRNGKey(seed[0]),)
+
+    n1, n2 = 2, 6
+    dt = _measure_marginal(make_callable, n1, n2, fresh_args)
+    imgs_per_sec = batch * (n2 - n1) / dt
+    return {
+        "metric": f"BigGAN-deep fingerprinted generation imgs/sec ({img_size}px, bf16, marginal)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_1024, 2),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "--preset", choices=["default", "1024px", "generate"], default="default"
+        "--preset", choices=["default", "1024px", "generate", "biggan"],
+        default="default"
     )
     parser.add_argument(
         "--use_pallas", action="store_true",
@@ -356,6 +423,8 @@ def main() -> int:
         try:
             if args.preset == "generate":
                 out = bench_generate(1024)
+            elif args.preset == "biggan":
+                out = bench_biggan(256)
             elif args.preset == "1024px":
                 out = bench_attribution(
                     1024, args.samples, args.n_starts, args.loss, args.remat_lpips)
