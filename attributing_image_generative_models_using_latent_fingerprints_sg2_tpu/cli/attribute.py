@@ -150,7 +150,9 @@ def main(argv=None) -> int:
             if args.profile and c0 == first_chunk
             else contextlib.nullcontext()
         )
-        with prof.device_phase("solve_chunk") as box, trace_ctx:
+        # trace_ctx OUTSIDE device_phase: the fence (host fetch) must
+        # happen before stop_trace or the async device work is truncated
+        with trace_ctx, prof.device_phase("solve_chunk") as box:
             if mesh is not None and (c1 - c0) % mesh.shape["data"] == 0:
                 from ..parallel.solver import attribute_on_mesh
 

@@ -133,11 +133,13 @@ def config_from_args(args: argparse.Namespace) -> Config:
 
 
 def apply_runtime_config(cfg: Config) -> None:
-    """Apply config knobs that act via process-global switches."""
-    if cfg.run.use_pallas:
-        from ..ops.upfirdn2d import enable_pallas
+    """Apply config knobs that act via process-global switches.
 
-        enable_pallas(True)
+    Sets (not merely enables) each switch so sequential in-process CLI
+    invocations don't inherit a previous run's state."""
+    from ..ops.upfirdn2d import enable_pallas
+
+    enable_pallas(cfg.run.use_pallas)
 
 
 def setup_compile_cache(path: str) -> None:

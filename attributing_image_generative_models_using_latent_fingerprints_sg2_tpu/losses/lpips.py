@@ -134,18 +134,15 @@ def _maxpool(x: jax.Array, k: int = 3, stride: int = 2, ceil_mode: bool = False)
 
 def alexnet_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List[jax.Array]:
     """AlexNet .features slices relu1..relu5
-    (ref pretrained_networks.py alexnet: [0:2],[2:5],[5:8],[8:10],[10:12])."""
+    (ref pretrained_networks.py alexnet: [0:2],[2:5],[5:8],[8:10],[10:12]).
+    Conv strides/pads come from _ALEX_CONVS (single source of truth);
+    maxpools sit before convs 1 and 2."""
     feats = []
-    x = jax.nn.relu(_conv2d(x, params[0], stride=4, pad=2))
-    feats.append(x)
-    x = jax.nn.relu(_conv2d(_maxpool(x), params[1], pad=2))
-    feats.append(x)
-    x = jax.nn.relu(_conv2d(_maxpool(x), params[2], pad=1))
-    feats.append(x)
-    x = jax.nn.relu(_conv2d(x, params[3], pad=1))
-    feats.append(x)
-    x = jax.nn.relu(_conv2d(x, params[4], pad=1))
-    feats.append(x)
+    for i, (_, _, stride, pad) in enumerate(_ALEX_CONVS):
+        if i in (1, 2):
+            x = _maxpool(x)
+        x = jax.nn.relu(_conv2d(x, params[i], stride=stride, pad=pad))
+        feats.append(x)
     return feats
 
 
@@ -192,17 +189,20 @@ def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
 def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
     """[-1,1] NHWC image -> list of channel-normalized feature maps.
 
-    Dispatches on ``params['net_type']`` ('vgg16' default | 'alex' |
-    'squeeze'), covering all three reference backbones
-    (custom_lpips/pretrained_networks.py)."""
-    net_type = params.get("net_type", "vgg16")
+    Dispatches on the params STRUCTURE (not a string leaf --- the params
+    pytree is a traced jit argument, so it may only hold arrays): a 'vgg'
+    key selects VGG16; otherwise 'net' holds either the SqueezeNet dict
+    (has 'fires') or the AlexNet conv tuple. Covers all three reference
+    backbones (custom_lpips/pretrained_networks.py)."""
     x = scaling_layer(img)
-    if net_type == "alex":
-        feats = alexnet_features(params["net"], x)
-    elif net_type == "squeeze":
-        feats = squeezenet_features(params["net"], x)
-    else:
+    if "vgg" in params:
         feats = vgg16_features(params["vgg"], x)
+    else:
+        net = params["net"]
+        if isinstance(net, dict) and "fires" in net:
+            feats = squeezenet_features(net, x)
+        else:
+            feats = alexnet_features(net, x)
     return [normalize_feat(f) for f in feats]
 
 
@@ -266,7 +266,7 @@ def init_lpips_params(key: jax.Array, seed_scale: float = 1.0) -> Dict[str, Any]
     return {"vgg": tuple(vgg), "lin": lin}
 
 
-def _he_conv(key, k, cin, cout, stride_unused=None):
+def _he_conv(key, k, cin, cout):
     w = jax.random.normal(key, (k, k, cin, cout)) * math.sqrt(2.0 / (cin * k * k))
     return {"weight": w, "bias": jnp.zeros((cout,))}
 
@@ -401,7 +401,6 @@ def build_lpips_params(
         chans = LPIPS_CHANNELS
     elif net == "alex":
         params = {
-            "net_type": "alex",
             "net": init_alex_params(key),
             "lin": tuple(jnp.ones((c,)) / c for c in ALEX_CHANNELS),
         }
@@ -413,7 +412,6 @@ def build_lpips_params(
         chans = ALEX_CHANNELS
     elif net == "squeeze":
         params = {
-            "net_type": "squeeze",
             "net": init_squeeze_params(key),
             "lin": tuple(jnp.ones((c,)) / c for c in SQUEEZE_CHANNELS),
         }

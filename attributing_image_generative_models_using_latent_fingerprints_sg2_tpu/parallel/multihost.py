@@ -102,8 +102,9 @@ def shard_local_batch(mesh: Mesh, local_x: Any, axis: int = 0) -> jax.Array:
 
 def replicate_global(mesh: Mesh, tree: Any) -> Any:
     """Replicate a (host-identical) pytree across the global mesh."""
-    s = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    from .mesh import replicate
+
+    return replicate(mesh, tree)
 
 
 def process_allgather(x: Any) -> np.ndarray:

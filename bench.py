@@ -171,11 +171,14 @@ def bench_attribution(
         if (fl_step and peak and dt > 0)
         else None
     )
+    loss_label = "LPIPS" if loss == "perceptual" else loss
     return {
-        "metric": f"attribution chain-steps/sec ({img_size}px, LPIPS, fwd+bwd, bf16, marginal)",
+        "metric": f"attribution chain-steps/sec ({img_size}px, {loss_label}, fwd+bwd, bf16, marginal)",
         "value": round(chain_steps_per_sec, 2),
         "unit": "steps/s",
-        "vs_baseline": round(chain_steps_per_sec / ref, 2),
+        # the assumed reference rate is for its LPIPS loop; an mse
+        # ablation has no meaningful baseline ratio
+        "vs_baseline": round(chain_steps_per_sec / ref, 2) if loss == "perceptual" else None,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_chain_step": round(fl_step / chains) if fl_step else None,
         "chains": chains,
@@ -372,7 +375,8 @@ def bench_biggan(img_size: int = 256) -> dict:
         "metric": f"BigGAN-deep fingerprinted generation imgs/sec ({img_size}px, bf16, marginal)",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s",
-        "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_1024, 2),
+        # no assumed reference rate for 256px BigGAN generation exists
+        "vs_baseline": None,
     }
 
 
@@ -439,7 +443,8 @@ def main() -> int:
                 f"bench attempt {attempt + 1}/{RETRIES} failed: {type(e).__name__}: {e}",
                 file=sys.stderr,
             )
-            time.sleep(RETRY_SLEEP_S)
+            if attempt + 1 < RETRIES:
+                time.sleep(RETRY_SLEEP_S)
     raise SystemExit(f"bench failed after {RETRIES} attempts: {last_err}")
 
 

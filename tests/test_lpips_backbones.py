@@ -133,3 +133,33 @@ def test_lpips_distance_with_alt_backbone(net):
 def test_build_lpips_params_rejects_unknown_net():
     with pytest.raises(ValueError, match="unknown LPIPS net"):
         lp.build_lpips_params(jax.random.PRNGKey(0), net="resnet")
+
+
+@pytest.mark.parametrize("net", ["alex", "squeeze"])
+def test_alt_backbone_usable_in_jitted_attribution(net):
+    """Regression: the backbone params pytree must contain only arrays
+    (a string net_type leaf crashed the jitted attribute()); the alt
+    backbones must drive the actual solver."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        AttributionConfig,
+        FingerprintConfig,
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        attribute as attr,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as lpl,
+    )
+
+    mcfg = ModelConfig(img_size=64, channel_max=64, n_mlp=2, style_dim=64)
+    fpcfg = FingerprintConfig(key_len=8, shift=56, n_pca_samples=300)
+    acfg = AttributionConfig(steps=2, n_starts=2, lr=0.2, loss="perceptual")
+    pipe = lpl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    params = lp.build_lpips_params(jax.random.PRNGKey(1), net=net)
+    imgs, *_ = lpl.generate_fingerprinted(pipe, jax.random.PRNGKey(2), 2)
+    res = attr.attribute(
+        pipe.gen_params, params, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(3), mcfg=mcfg, acfg=acfg,
+    )
+    assert np.isfinite(np.asarray(res.loss)).all()
