@@ -136,6 +136,22 @@ def enable_pallas(on: bool = True) -> None:
     _PALLAS_ENABLED = bool(on)
 
 
+# One-pass (non-separable) blur lowering: the separable path is 2
+# depthwise convs = 2 HBM round trips of the feature map; one 4x4 pass
+# does 2x the tap math but half the traffic. Measured on v5e: +13% imgs/s
+# at 1024px generation (late layers C=32/64 are bandwidth-bound AND
+# lane-starved, so the extra taps are free), neutral at 256px (C>=128).
+# Auto policy below: separable only when C >= 128; global override via
+# enable_one_pass_blur / bench.py --blur_one_pass.
+_FORCE_ONE_PASS = False
+_SEPARABLE_MIN_LANES = 128
+
+
+def enable_one_pass_blur(on: bool = True) -> None:
+    global _FORCE_ONE_PASS
+    _FORCE_ONE_PASS = bool(on)
+
+
 def pallas_enabled() -> bool:
     return _PALLAS_ENABLED
 
@@ -226,7 +242,11 @@ def upfirdn2d(
             return _upblur2x_polyphase(x, tuple(float(v) for v in ky))
 
     if separable is None:
-        separable = _is_separable(kernel_np)
+        separable = (
+            not _FORCE_ONE_PASS
+            and x.shape[-1] >= _SEPARABLE_MIN_LANES
+            and _is_separable(kernel_np)
+        )
 
     if separable:
         ky, kx = _split_separable(kernel_np)

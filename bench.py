@@ -400,6 +400,8 @@ def main() -> int:
                         help="recompute VGG activations in backward (A/B)")
     parser.add_argument("--fused_upsample", action="store_true",
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
+    parser.add_argument("--blur_one_pass", action="store_true",
+                        help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
     args = parser.parse_args()
 
     global jax, jnp
@@ -421,6 +423,12 @@ def main() -> int:
         )
 
         enable_fused_upsample(True)
+    if args.blur_one_pass:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d import (
+            enable_one_pass_blur,
+        )
+
+        enable_one_pass_blur(True)
 
     last_err: Exception | None = None
     for attempt in range(RETRIES):
