@@ -277,9 +277,13 @@ def bench_generate(img_size: int = 1024) -> dict:
         seed[0] += 1
         return (jax.random.PRNGKey(seed[0]),)
 
-    n1, n2 = 2, 6
+    # smaller images need a longer scan for the marginal to dominate
+    # tunnel timing noise
+    n1, n2 = (2, 6) if img_size >= 1024 else (4, 24)
     dt = _measure_marginal(make_callable, n1, n2, fresh_args)
     imgs_per_sec = batch * (n2 - n1) / dt
+    # the assumed reference rate is for 1024px batch-1 generation only
+    ref = REF_IMGS_PER_SEC_1024 if img_size >= 1024 else None
 
     # FLOPs of one batch synthesis (scan body counted once by XLA's cost
     # model, so lower the bare per-batch program).
@@ -309,7 +313,7 @@ def bench_generate(img_size: int = 1024) -> dict:
         "metric": f"fingerprinted generation imgs/sec ({img_size}px, bf16, marginal)",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s",
-        "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_1024, 2),
+        "vs_baseline": round(imgs_per_sec / ref, 2) if ref else None,
         "mfu": round(mfu, 4) if mfu is not None else None,
     }
 
@@ -402,6 +406,8 @@ def main() -> int:
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     parser.add_argument("--blur_one_pass", action="store_true",
                         help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
+    parser.add_argument("--gen_size", type=int, default=1024,
+                        help="image size for the generate/biggan presets")
     args = parser.parse_args()
 
     global jax, jnp
@@ -434,9 +440,9 @@ def main() -> int:
     for attempt in range(RETRIES):
         try:
             if args.preset == "generate":
-                out = bench_generate(1024)
+                out = bench_generate(args.gen_size)
             elif args.preset == "biggan":
-                out = bench_biggan(256)
+                out = bench_biggan(min(args.gen_size, 256))
             elif args.preset == "1024px":
                 out = bench_attribution(
                     1024, args.samples, args.n_starts, args.loss, args.remat_lpips)
