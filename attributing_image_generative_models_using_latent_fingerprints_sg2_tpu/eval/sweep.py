@@ -40,6 +40,7 @@ class SweepPoint:
     attribution_acc: float
     watermark_lpips: float
     watermark_mse: float
+    mean_latent_cos: float = float("nan")  # recovered-vs-true content latent
     fid: Optional[float] = None
 
 
@@ -109,7 +110,7 @@ def run_sweep(
                 acfg=acfg,
                 dtype=dtype,
             )
-            ev = attr.evaluate_attribution(res, bits)
+            ev = attr.evaluate_attribution(res, bits, basis=basis, true_w0=w0)
             results.append(
                 SweepPoint(
                     key_len=key_len,
@@ -119,6 +120,7 @@ def run_sweep(
                     attribution_acc=float(ev["attribution_acc"]),
                     watermark_lpips=wm_lpips,
                     watermark_mse=wm_mse,
+                    mean_latent_cos=float(ev["mean_latent_cos"]),
                     fid=fid_val,
                 )
             )
