@@ -167,3 +167,61 @@ def test_attribute_cli_profile(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_attribute_cli_resumes_after_midrun_crash(tmp_path, monkeypatch):
+    """Failure recovery: crash after the first of two sample chunks, then
+    resume from the run dir — the completed run must cover both samples
+    and the resumed sample must match an uninterrupted run's result."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+        attribute as attribute_cli,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        attribute as attr,
+    )
+
+    args = COMMON + [
+        "--sample_size", "2", "--steps", "5", "--n", "2", "--loss", "mse",
+        "--save_dir", str(tmp_path) + "/", "--chunk_samples", "1",
+    ]
+
+    # uninterrupted oracle run
+    assert attribute_cli.main(args + ["--seed", "3"]) == 0
+    oracle_run = next(
+        root for root, dirs, files in os.walk(tmp_path) if "result.txt" in files
+    )
+    oracle_txt = open(os.path.join(oracle_run, "result.txt")).read()
+
+    # crashing run: die entering the second chunk
+    crash_dir = tmp_path / "crash"
+    calls = {"n": 0}
+    orig = attr.attribute_chunked
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-run crash")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(attr, "attribute_chunked", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        attribute_cli.main(
+            COMMON + ["--sample_size", "2", "--steps", "5", "--n", "2",
+                      "--loss", "mse", "--save_dir", str(crash_dir) + "/",
+                      "--chunk_samples", "1", "--seed", "3"]
+        )
+    monkeypatch.setattr(attr, "attribute_chunked", orig)
+
+    run = next(
+        root for root, dirs, files in os.walk(crash_dir) if "result.txt" in files
+    )
+    st = json.load(open(os.path.join(run, "attribution_state.json")))
+    assert st["next_sample"] == 1  # first chunk landed before the crash
+
+    # resume completes the run with identical per-sample results
+    assert attribute_cli.main(args + ["--seed", "3", "--resume", run]) == 0
+    st2 = json.load(open(os.path.join(run, "attribution_state.json")))
+    assert st2["next_sample"] == 2 and len(st2["bit_accs"]) == 2
+    assert open(os.path.join(run, "result.txt")).read() == oracle_txt

@@ -268,3 +268,31 @@ def test_fused_leaky_relu_parity(ref_model):
         fused_leaky_relu(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(b))
     ).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)
+
+
+def test_synthesis_pixel_parity_128px(ref_model):
+    """Pixel parity at a second resolution (exercises one more upsample
+    stage + the 128-res channel-map entry)."""
+    cfg = ModelConfig(img_size=128)
+    torch.manual_seed(11)
+    g = ref_model.Generator(128, 512, 8, channel_multiplier=2)
+    g.eval()
+    sd = {k: np.asarray(v.detach().float().numpy()) for k, v in g.state_dict().items()}
+    params = generator_params_from_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(12)
+    w = rng.standard_normal((1, 512)).astype(np.float32)
+    t_noise, j_noise = [], []
+    for layer_idx in range(sg2.num_noise_layers(128)):
+        res = 2 ** ((layer_idx + 5) // 2)
+        n = rng.standard_normal((1, 1, res, res)).astype(np.float32)
+        t_noise.append(torch.from_numpy(n))
+        j_noise.append(jnp.asarray(np.transpose(n, (0, 2, 3, 1))))
+    with torch.no_grad():
+        img_ref, _ = g([torch.from_numpy(w)], input_is_latent=True, noise=t_noise)
+    img_ref = img_ref.numpy().transpose(0, 2, 3, 1)
+    img_ours, _ = sg2.generate(
+        params, [jnp.asarray(w)], cfg, input_is_latent=True, noise=j_noise
+    )
+    assert img_ours.shape == (1, 128, 128, 3)
+    _rel_close(np.asarray(img_ours), img_ref, 1e-4)
