@@ -87,17 +87,19 @@ def main(argv=None) -> int:
     k_build, k_gen, k_atk, k_opt = jax.random.split(key, 4)
     from ..utils import profiling as prof
 
+    custom_lpips = bool(
+        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
+    )
     t0 = time.time()
     with prof.phase("build_pipeline"):
         pipe = pl.build_pipeline(
             k_build, cfg.model, cfg.fingerprint,
             attack_cfg=cfg.attack if cfg.attack.augmentation != "None" else None,
             ckpt_path=cfg.model.ckpt,
-            want_lpips=(cfg.attribution.loss == "perceptual"),
+            # skip the default VGG init when custom params replace it below
+            want_lpips=(cfg.attribution.loss == "perceptual" and not custom_lpips),
         )
-    if cfg.attribution.loss == "perceptual" and (
-        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
-    ):
+    if cfg.attribution.loss == "perceptual" and custom_lpips:
         from ..losses.lpips import build_lpips_params
 
         pipe.lpips_params = build_lpips_params(
@@ -212,7 +214,7 @@ def main(argv=None) -> int:
         )
     if args.profile:
         print("[attribute] phase report:")
-        print(prof.format_report())
+        print(prof.format_report(reset=True))
     return 0
 
 

@@ -38,6 +38,16 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     apply_runtime_config(cfg)
 
+    # exact LPIPS weights / alternative backbones, same flags as attribute
+    lpips_params = None
+    if args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg":
+        from ..losses.lpips import build_lpips_params
+
+        lpips_params = build_lpips_params(
+            jax.random.PRNGKey(0), vgg_path=args.lpips_vgg,
+            lin_path=args.lpips_lin, net=args.lpips_net,
+        )
+
     pts = run_sweep(
         jax.random.PRNGKey(cfg.run.seed),
         cfg.model,
@@ -49,6 +59,7 @@ def main(argv=None) -> int:
         ckpt_path=cfg.model.ckpt,
         with_fid=args.with_fid,
         dtype=cfg.run.dtype,
+        lpips_params=lpips_params,
     )
     js = sweep_to_json(pts)
     with open(args.out, "w") as f:

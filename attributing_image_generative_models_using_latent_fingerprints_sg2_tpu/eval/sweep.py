@@ -56,6 +56,7 @@ def run_sweep(
     ckpt_path: Optional[str] = None,
     with_fid: bool = False,
     dtype: str = "float32",
+    lpips_params=None,
 ) -> List[SweepPoint]:
     acfg = acfg or AttributionConfig(steps=200, n_starts=4, loss="mse")
     k_build, k_run = jax.random.split(key)
@@ -66,7 +67,10 @@ def run_sweep(
         k_build, mcfg, base_fp, ckpt_path=ckpt_path,
         want_lpips=(acfg.loss == "perceptual"),
     )
-    lpips_params = pipe.lpips_params or lpips_mod.init_lpips_params(jax.random.PRNGKey(7))
+    if lpips_params is None:
+        lpips_params = pipe.lpips_params or lpips_mod.init_lpips_params(
+            jax.random.PRNGKey(7)
+        )
     inc_params = None
     if with_fid:
         from .fid import fid_between

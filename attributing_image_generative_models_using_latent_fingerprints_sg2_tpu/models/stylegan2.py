@@ -219,6 +219,8 @@ _FUSED_UPSAMPLE = False
 
 def enable_fused_upsample(on: bool = True) -> None:
     global _FUSED_UPSAMPLE
+    if bool(on) != _FUSED_UPSAMPLE:
+        jax.clear_caches()  # trace-time switch: stale executables must not outlive it
     _FUSED_UPSAMPLE = bool(on)
 
 

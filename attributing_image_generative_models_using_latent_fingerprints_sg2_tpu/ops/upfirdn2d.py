@@ -131,8 +131,14 @@ _PALLAS_ENABLED = False
 
 
 def enable_pallas(on: bool = True) -> None:
-    """Route eligible upfirdn2d calls through the Pallas TPU kernels."""
+    """Route eligible upfirdn2d calls through the Pallas TPU kernels.
+
+    The switch is read at TRACE time, so flipping it invalidates jit
+    caches --- otherwise a previously compiled executable (built under
+    the other setting) would silently keep running."""
     global _PALLAS_ENABLED
+    if bool(on) != _PALLAS_ENABLED:
+        jax.clear_caches()
     _PALLAS_ENABLED = bool(on)
 
 
@@ -149,6 +155,8 @@ _SEPARABLE_MIN_LANES = 128
 
 def enable_one_pass_blur(on: bool = True) -> None:
     global _FORCE_ONE_PASS
+    if bool(on) != _FORCE_ONE_PASS:
+        jax.clear_caches()  # trace-time switch; see enable_pallas
     _FORCE_ONE_PASS = bool(on)
 
 
@@ -240,6 +248,26 @@ def upfirdn2d(
         ky, kx = _split_separable(kernel_np)
         if np.allclose(ky, kx, atol=1e-12):
             return _upblur2x_polyphase(x, tuple(float(v) for v in ky))
+
+    # Negative pads: XLA's convolution treats negative window padding as
+    # undefined on some backends (observed nondeterministic garbage on
+    # CPU), so lower the zero-stuffing AND the signed pads through
+    # lax.pad (interior = up-1, negative edges crop — the reference's
+    # pad-then-slice semantics, src/op/upfirdn2d.py:203-209) and continue
+    # with a plain convolution.
+    if min(pad_x0, pad_x1, pad_y0, pad_y1) < 0:
+        x = lax.pad(
+            x,
+            jnp.zeros((), x.dtype),
+            (
+                (0, 0, 0),
+                (pad_y0, pad_y1 + up_y - 1, up_y - 1),
+                (pad_x0, pad_x1 + up_x - 1, up_x - 1),
+                (0, 0, 0),
+            ),
+        )
+        up_y = up_x = 1
+        pad_x0 = pad_x1 = pad_y0 = pad_y1 = 0
 
     if separable is None:
         separable = (

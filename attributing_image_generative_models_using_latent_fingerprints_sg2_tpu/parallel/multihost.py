@@ -25,8 +25,10 @@ Typical use (one process per host):
     accs = mh.process_allgather(res.loss)   # small, replicated to all hosts
 
 Validated end-to-end by ``tests/test_multihost.py`` with 2 CPU processes
-x 4 virtual devices each (Gloo backend), bit-identical to the
-single-process 8-device solve.
+x 4 virtual devices each (Gloo backend): both hosts gather identical
+global results, numerically equivalent to the single-process 8-device
+solve (partitioned reductions reassociate floats, so equivalence is
+within tolerance, not bit-identical).
 """
 
 from __future__ import annotations
@@ -135,21 +137,18 @@ def attribute_multihost(
     are replicated.  The returned result's arrays are globally sharded;
     use ``process_allgather`` for small fields that every host needs.
     """
-    from .mesh import shard_generator_params
+    from .solver import solve_placed
 
-    targets = shard_local_batch(mesh, local_targets)
-    if shard_model and mesh.shape["model"] > 1:
-        gen_params = shard_generator_params(mesh, gen_params)
-    else:
-        gen_params = replicate_global(mesh, gen_params)
-    lpips_params = (
-        replicate_global(mesh, lpips_params) if lpips_params is not None else None
-    )
-    basis = replicate_global(mesh, basis)
-    noise = replicate_global(mesh, noise)
-    rng = replicate_global(mesh, rng)
-    with jax.sharding.set_mesh(mesh):
-        return attr.attribute(
-            gen_params, lpips_params, basis, noise, targets, rng,
-            mcfg=mcfg, acfg=acfg, **kwargs,
+    global_samples = local_targets.shape[0] * jax.process_count()
+    data = mesh.shape["data"]
+    if global_samples % data != 0:
+        raise ValueError(
+            f"global sample count {global_samples} "
+            f"({local_targets.shape[0]} x {jax.process_count()} processes) "
+            f"not divisible by data axis {data}"
         )
+    return solve_placed(
+        mesh, gen_params, lpips_params, basis, noise,
+        shard_local_batch(mesh, local_targets), rng,
+        mcfg=mcfg, acfg=acfg, shard_model=shard_model, **kwargs,
+    )

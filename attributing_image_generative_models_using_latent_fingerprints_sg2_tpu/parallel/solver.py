@@ -18,6 +18,40 @@ from ..fingerprint import attribute as attr
 from .mesh import Mesh, replicate, shard_batch, shard_generator_params
 
 
+def solve_placed(
+    mesh: Mesh,
+    gen_params,
+    lpips_params,
+    basis,
+    noise,
+    targets_sharded: jax.Array,
+    rng: jax.Array,
+    *,
+    mcfg: ModelConfig,
+    acfg: AttributionConfig,
+    shard_model: bool = False,
+    **kwargs,
+) -> attr.AttributionResult:
+    """Replicate weights on ``mesh`` and solve ALREADY-sharded targets.
+
+    Shared placement core of both the single-process path
+    (``attribute_on_mesh``) and the multi-process path
+    (``parallel.multihost.attribute_multihost``)."""
+    if shard_model and mesh.shape["model"] > 1:
+        gen_params = shard_generator_params(mesh, gen_params)
+    else:
+        gen_params = replicate(mesh, gen_params)
+    lpips_params = replicate(mesh, lpips_params) if lpips_params is not None else None
+    basis = replicate(mesh, basis)
+    noise = replicate(mesh, noise)
+    rng = replicate(mesh, rng)
+    with jax.sharding.set_mesh(mesh):
+        return attr.attribute(
+            gen_params, lpips_params, basis, noise, targets_sharded, rng,
+            mcfg=mcfg, acfg=acfg, **kwargs,
+        )
+
+
 def attribute_on_mesh(
     mesh: Mesh,
     gen_params,
@@ -44,17 +78,8 @@ def attribute_on_mesh(
         raise ValueError(
             f"sample count {targets.shape[0]} not divisible by data axis {data}"
         )
-    targets = shard_batch(mesh, targets)
-    if shard_model and mesh.shape["model"] > 1:
-        gen_params = shard_generator_params(mesh, gen_params)
-    else:
-        gen_params = replicate(mesh, gen_params)
-    lpips_params = replicate(mesh, lpips_params) if lpips_params is not None else None
-    basis = replicate(mesh, basis)
-    noise = replicate(mesh, noise)
-    rng = replicate(mesh, rng)
-    with jax.sharding.set_mesh(mesh):
-        return attr.attribute(
-            gen_params, lpips_params, basis, noise, targets, rng,
-            mcfg=mcfg, acfg=acfg, **kwargs,
-        )
+    return solve_placed(
+        mesh, gen_params, lpips_params, basis, noise,
+        shard_batch(mesh, targets), rng,
+        mcfg=mcfg, acfg=acfg, shard_model=shard_model, **kwargs,
+    )

@@ -35,16 +35,18 @@ def phase(name: str) -> Iterator[None]:
 
 
 def fence(x: Any) -> None:
-    """Force device completion by fetching one element of each leaf.
+    """Force device completion by fetching ONE element of each leaf.
 
     On the axon TPU platform ``jax.block_until_ready`` returns before the
-    computation finishes; a host fetch is the only reliable fence.
+    computation finishes; a host fetch is the only reliable fence.  The
+    fetch is a single-element device-side slice --- never the full array
+    (a whole-batch copy would add GBs of host traffic to every run).
     """
     import jax
 
     for leaf in jax.tree.leaves(x):
-        if hasattr(leaf, "ravel"):
-            np.asarray(leaf).ravel()[:1]
+        if hasattr(leaf, "ndim") and hasattr(leaf, "__getitem__"):
+            np.asarray(leaf[(0,) * leaf.ndim]) if leaf.ndim else np.asarray(leaf)
 
 
 @contextlib.contextmanager

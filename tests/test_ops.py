@@ -147,3 +147,27 @@ def test_fused_leaky_relu_grad():
     g = jax.grad(lambda a: jnp.sum(fused_leaky_relu(a, b)))(x)
     want = np.where(np.asarray(x + b) >= 0, 1.0, 0.2) * np.sqrt(2.0)
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6)
+
+
+def test_negative_pads_nonseparable_deterministic():
+    """Regression: negative pads on the non-separable path previously
+    lowered to an XLA conv with negative window padding, which returned
+    nondeterministic garbage on some backends; now they lower through
+    lax.pad (crop). Must match the separable path and be stable across
+    runs."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    want = upfirdn2d(x, k, pad=(-1, 1), separable=True)
+    outs = [
+        np.asarray(upfirdn2d(x, k, pad=(-1, 1), separable=False))
+        for _ in range(3)
+    ]
+    for o in outs:
+        np.testing.assert_allclose(o, np.asarray(want), rtol=1e-5, atol=1e-6)
+    # up>1 with a negative pad exercises the dilation-in-lax.pad fold
+    want_up = upfirdn2d(x, k, up=2, pad=(-1, 2), separable=True)
+    got_up = upfirdn2d(x, k, up=2, pad=(-1, 2), separable=False)
+    np.testing.assert_allclose(
+        np.asarray(got_up), np.asarray(want_up), rtol=1e-5, atol=1e-6
+    )
