@@ -6,7 +6,10 @@ attribution for ITS HALF of the samples over the global mesh, and writes
 the allgathered results to an npz for the parent test to compare against
 the single-process solve.
 
-Run:  python multihost_worker.py <process_id> <port> <out.npz>
+Run:  python multihost_worker.py <process_id> <port> <out.npz> [dp|tp]
+
+``tp`` builds a 4x2 ('data','model') global mesh and channel-shards the
+generator (tensor parallelism whose collectives span the two processes).
 """
 
 import os
@@ -15,6 +18,7 @@ import sys
 
 def main() -> int:
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -54,12 +58,17 @@ def main() -> int:
 
     # each process owns half the samples (by process id)
     local = imgs_np[pid * 4 : (pid + 1) * 4]
-    mesh = mh.global_mesh()
-    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    if mode == "tp":
+        mesh = mh.global_mesh(model=2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+    else:
+        mesh = mh.global_mesh()
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
 
     res = mh.attribute_multihost(
         mesh, pipe.gen_params, None, pipe.basis, pipe.noise, local,
         jax.random.PRNGKey(2), mcfg=mcfg, acfg=acfg,
+        shard_model=(mode == "tp"),
     )
     loss = mh.process_allgather(res.loss)  # [8], identical on both hosts
     bits_rec = mh.process_allgather(res.key_bits)  # [8, 8]

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import jax
+import pytest
 import numpy as np
 
 from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
@@ -40,7 +41,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_solve_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_two_process_solve_matches_single_process(tmp_path, mode):
+    """mode=dp: all 8 global devices data-parallel. mode=tp: a 4x2 mesh
+    whose channel-sharding collectives span the two processes."""
     port = _free_port()
     outs = [str(tmp_path / f"p{i}.npz") for i in range(2)]
     env = dict(os.environ)
@@ -49,7 +53,7 @@ def test_two_process_solve_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
-             str(i), str(port), outs[i]],
+             str(i), str(port), outs[i], mode],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
