@@ -123,7 +123,7 @@ def make_attribution_step(
             )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state
             # and loss accumulation stay f32, synthesis/VGG in `dtype`)
         if acfg.loss == "perceptual":
-            extract = lpips_mod.extract_features
+            extract = lpips_mod.extract_raw_features
             if remat_lpips:
                 # The LPIPS segment is HBM-bandwidth-bound (BASELINE.md
                 # ablation): recomputing VGG activations in the backward
@@ -132,7 +132,12 @@ def make_attribution_step(
                 extract = jax.checkpoint(extract, static_argnums=())
             feats = extract(lpips_params, imgs)
             feats = [f.reshape((s_, n_) + f.shape[1:]) for f in feats]
-            per = lpips_mod.distance_from_features(lpips_params, target_feats, feats)
+            # fused normalize+diff+lin+mean head with analytic backward
+            # (losses/lpips.py _fused_slice_distance); target features are
+            # pre-normalized and constant (ref detaches them, main.py:124)
+            per = lpips_mod.distance_from_raw_features(
+                lpips_params, feats, target_feats
+            )
         else:
             d = imgs.astype(jnp.float32).reshape((s_, n_) + imgs.shape[1:]) - targets
             per = jnp.mean(jnp.square(d), axis=(-3, -2, -1))

@@ -35,12 +35,15 @@ deterministic random backbone: still a valid perceptual metric family
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+from ..ops.pool import maxpool2x2
 
 # VGG16 "features" conv plan: channel widths per conv, "M" = 2x2 maxpool.
 VGG16_PLAN: Tuple[Any, ...] = (
@@ -63,10 +66,38 @@ def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return y + b.astype(y.dtype)
 
 
+# Pallas routing for the backbone's square 3x3+ReLU convs (see
+# ops/vgg_pallas.py).  OFF by default: the A/B (BASELINE.md) measured the
+# per-conv kernel SLOWER in context (325 vs 405 chain-steps/s) --- kept as
+# a verified opt-in for future fused-slice work.  The routed
+# path treats the backbone weights as FROZEN (zero weight cotangents) ---
+# true for every consumer here (solver optimizes latents, LPIPS training
+# optimizes lin heads only, ref dist_model.py:88-99); disable when
+# differentiating through backbone weights.
+_VGG_PALLAS = False
+
+
+def enable_vgg_pallas(on: bool = True) -> None:
+    global _VGG_PALLAS
+    if bool(on) != _VGG_PALLAS:
+        jax.clear_caches()  # trace-time switch: drop stale executables
+    _VGG_PALLAS = bool(on)
+
+
+def _conv3x3_relu(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    if _VGG_PALLAS:
+        from ..ops import vgg_pallas
+
+        if vgg_pallas.eligible(x.shape, w.shape):
+            return vgg_pallas.conv3x3_relu(x, w.astype(x.dtype), b)
+    return jax.nn.relu(_conv3x3(x, w, b))
+
+
 def _maxpool2(x: jax.Array) -> jax.Array:
-    return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    # reshape-max, not reduce_window: the latter's gradient lowers to the
+    # slow TPU SelectAndScatter (see ops/pool.py), and this pool sits in
+    # the differentiated hot path of every attribution step.
+    return maxpool2x2(x)
 
 
 def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List[jax.Array]:
@@ -79,7 +110,7 @@ def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List
             x = _maxpool2(x)
         else:
             p = params[conv_i]
-            x = jax.nn.relu(_conv3x3(x, p["weight"], p["bias"]))
+            x = _conv3x3_relu(x, p["weight"], p["bias"])
             if conv_i in slice_ends:
                 feats.append(x)
             conv_i += 1
@@ -186,8 +217,8 @@ def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
     return (f.astype(jnp.float32) / (norm + eps)).astype(f.dtype)
 
 
-def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
-    """[-1,1] NHWC image -> list of channel-normalized feature maps.
+def extract_raw_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
+    """[-1,1] NHWC image -> list of UN-normalized backbone feature maps.
 
     Dispatches on the params STRUCTURE (not a string leaf --- the params
     pytree is a traced jit argument, so it may only hold arrays): a 'vgg'
@@ -196,14 +227,16 @@ def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
     backbones (custom_lpips/pretrained_networks.py)."""
     x = scaling_layer(img)
     if "vgg" in params:
-        feats = vgg16_features(params["vgg"], x)
-    else:
-        net = params["net"]
-        if isinstance(net, dict) and "fires" in net:
-            feats = squeezenet_features(net, x)
-        else:
-            feats = alexnet_features(net, x)
-    return [normalize_feat(f) for f in feats]
+        return vgg16_features(params["vgg"], x)
+    net = params["net"]
+    if isinstance(net, dict) and "fires" in net:
+        return squeezenet_features(net, x)
+    return alexnet_features(net, x)
+
+
+def extract_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
+    """[-1,1] NHWC image -> list of channel-normalized feature maps."""
+    return [normalize_feat(f) for f in extract_raw_features(params, img)]
 
 
 def distance_from_features(
@@ -219,8 +252,15 @@ def distance_from_features(
     total = None
     per_layer = []
     for f0, f1, lin_w in zip(feats0, feats1, params["lin"]):
-        # diff/square/accumulate in f32 even for bf16 features
-        diff2 = jnp.square(f0.astype(jnp.float32) - f1.astype(jnp.float32))
+        # Subtract in the FEATURE dtype, square/accumulate in f32.  Both
+        # inputs are already rounded to the feature dtype, so a bf16
+        # subtraction loses at most 1 ulp on the diff --- while converting
+        # to f32 *before* the broadcasting subtraction makes XLA
+        # materialize the [S, n, h, w, c] target broadcast at twice the
+        # bytes (measured 1-2 ms/step at 256px x 16 chains, trace
+        # broadcast.4052).
+        diff = f0 - f1
+        diff2 = jnp.square(diff.astype(jnp.float32))
         # 1x1 conv head == channel-weighted sum; then spatial mean.
         d = jnp.mean(jnp.sum(diff2 * lin_w, axis=-1), axis=(-2, -1))  # [...]
         per_layer.append(d)
@@ -235,6 +275,82 @@ def lpips(params: Dict[str, Any], img0: jax.Array, img1: jax.Array) -> jax.Array
     return distance_from_features(
         params, extract_features(params, img0), extract_features(params, img1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused per-slice distance head (solver hot path)
+# ---------------------------------------------------------------------------
+#
+# The solver differentiates  mean_hw sum_c lin_c (normalize(f) - t)^2  with
+# respect to the raw backbone feature f EVERY optimization step.  Spelled as
+# normalize_feat + distance_from_features, autodiff saves/materializes the
+# norm, the normalized map, and the diff per slice --- several extra HBM
+# round trips over maps as large as [16,256,256,64].  The head below has a
+# hand-derived VJP that recomputes the cheap elementwise chain from the raw
+# feature (which the conv backward keeps alive anyway) + the tiny saved
+# norm, in one fused pass.  Measured A/B (bench.py, 256px x 16 chains):
+# 405.3 vs 394.8 chain-steps/s, i.e. -0.65 ms per 16-chain program step.
+#
+# The target is treated as a CONSTANT (zero cotangent): the reference
+# detaches the attacked target before optimizing (src/main.py:124), so no
+# gradient ever flows into it; likewise the lin heads are frozen weights
+# (dist_model.py net-lin eval mode).
+
+
+def _fsd_value(f, t, lin, eps):
+    f32 = f.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(f32), axis=-1, keepdims=True))
+    fn = (f32 / (norm + eps)).astype(f.dtype)  # == normalize_feat(f)
+    diff2 = jnp.square((fn - t).astype(jnp.float32))
+    d = jnp.mean(jnp.sum(diff2 * lin, axis=-1), axis=(-2, -1))
+    return d, norm
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_slice_distance(f, t, lin, eps):
+    return _fsd_value(f, t, lin, eps)[0]
+
+
+def _fsd_fwd(f, t, lin, eps):
+    d, norm = _fsd_value(f, t, lin, eps)
+    return d, (f, t, lin, norm)
+
+
+def _fsd_bwd(eps, res, g):
+    f, t, lin, norm = res
+    f32 = f.astype(jnp.float32)
+    denom = norm + eps
+    fn32 = f32 / denom
+    # match the forward's rounding: the diff uses the feature-dtype fn
+    e = (fn32.astype(f.dtype) - t).astype(jnp.float32)
+    hw = f.shape[-3] * f.shape[-2]
+    u = e * (lin * (2.0 / hw)) * g[..., None, None, None].astype(jnp.float32)
+    # VJP of fn = f32/ (||f32|| + eps):
+    #   df = u/denom - f32 * (sum_c u*f32) / (norm * denom^2)
+    s = jnp.sum(u * f32, axis=-1, keepdims=True)
+    df = u / denom - f32 * (s / (norm * jnp.square(denom)))
+    return (df.astype(f.dtype), jnp.zeros_like(t), jnp.zeros_like(lin))
+
+
+_fused_slice_distance.defvjp(_fsd_fwd, _fsd_bwd)
+
+
+def distance_from_raw_features(
+    params: Dict[str, Any],
+    raw_feats: Sequence[jax.Array],
+    target_norm_feats: Sequence[jax.Array],
+    eps: float = 1e-10,
+) -> jax.Array:
+    """LPIPS distance of RAW features against cached NORMALIZED target
+    features, with the fused analytic backward (see above).  Numerically
+    equal to ``distance_from_features(params, target_norm_feats,
+    [normalize_feat(f) for f in raw_feats])``; gradients equal up to the
+    feature dtype's rounding of the normalized map."""
+    total = None
+    for f, t, lin_w in zip(raw_feats, target_norm_feats, params["lin"]):
+        d = _fused_slice_distance(f, t, lin_w, eps)
+        total = d if total is None else total + d
+    return total
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.pool import maxpool2x2
+
 Params = Dict[str, Any]
 
 # biggan-deep-256 configuration (pytorch_pretrained_biggan config.json)
@@ -162,11 +164,9 @@ def self_attention(x: jax.Array, p: Params) -> jax.Array:
     phi = _conv(x, p["phi"])
     g = _conv(x, p["g"])  # [B,H,W,C/2]
 
-    def pool2(v):
-        return lax.reduce_window(v, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-
-    phi = pool2(phi).reshape(b, (h // 2) * (w // 2), -1)
-    g = pool2(g).reshape(b, (h // 2) * (w // 2), -1)
+    # reshape-max pool: avoids the SelectAndScatter gradient (ops/pool.py)
+    phi = maxpool2x2(phi).reshape(b, (h // 2) * (w // 2), -1)
+    g = maxpool2x2(g).reshape(b, (h // 2) * (w // 2), -1)
     theta = theta.reshape(b, h * w, -1)
     attn = jax.nn.softmax(
         jnp.einsum("bnd,bmd->bnm", theta, phi).astype(jnp.float32), axis=-1

@@ -394,6 +394,11 @@ def main() -> int:
         "--use_pallas", action="store_true",
         help="route eligible blurs through the Pallas kernels (A/B vs XLA)",
     )
+    parser.add_argument(
+        "--vgg_pallas", action="store_true",
+        help="route the LPIPS backbone's square 3x3+relu convs through the "
+             "paired-tap Pallas kernel (A/B vs the XLA conv emitter)",
+    )
     parser.add_argument("--samples", type=int, default=0,
                         help="override sample count (attribution presets)")
     parser.add_argument("--n_starts", type=int, default=0,
@@ -423,6 +428,12 @@ def main() -> int:
         )
 
         enable_pallas(True)
+    if args.vgg_pallas:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses.lpips import (
+            enable_vgg_pallas,
+        )
+
+        enable_vgg_pallas(True)
     if args.fused_upsample:
         from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
             enable_fused_upsample,

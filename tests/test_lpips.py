@@ -105,3 +105,66 @@ def test_scaling_layer_constants():
     np.testing.assert_allclose(
         y[0, 0, 0], [0.030 / 0.458, 0.088 / 0.448, 0.188 / 0.450], rtol=1e-5
     )
+
+
+def test_fused_slice_distance_matches_unfused(params):
+    """The fused analytic head (distance_from_raw_features) must equal the
+    normalize_feat + distance_from_features composition in value and, on
+    f32 features, in gradient."""
+    imgs = _img(21, b=2, s=32)
+    tgt = _img(22, b=2, s=32)
+    raw = L.extract_raw_features(params, imgs)
+    # broadcastable cached-target layout [B, 1, h, w, c] like the solver's
+    tfeats = [f[:, None] for f in L.extract_features(params, tgt)]
+    raw_b = [f[:, None] for f in raw]
+
+    d_fused = L.distance_from_raw_features(params, raw_b, tfeats)
+    d_ref = L.distance_from_features(
+        params, tfeats, [L.normalize_feat(f) for f in raw_b]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_fused), np.asarray(d_ref), rtol=1e-6, atol=1e-7
+    )
+
+    def loss_fused(fs):
+        return jnp.sum(L.distance_from_raw_features(params, fs, tfeats))
+
+    def loss_ref(fs):
+        return jnp.sum(
+            L.distance_from_features(
+                params, tfeats, [L.normalize_feat(f) for f in fs]
+            )
+        )
+
+    g_fused = jax.grad(loss_fused)(raw_b)
+    g_ref = jax.grad(loss_ref)(raw_b)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=1e-7
+        )
+
+
+def test_fused_slice_distance_bf16_close(params):
+    """bf16 features: fused head value must match the unfused composition
+    and gradients agree to bf16 rounding."""
+    imgs = _img(23, b=2, s=32).astype(jnp.bfloat16)
+    tgt = _img(24, b=2, s=32).astype(jnp.bfloat16)
+    p16 = jax.tree.map(lambda a: a, params)
+    raw = L.extract_raw_features(p16, imgs)
+    tfeats = [f[:, None] for f in L.extract_features(p16, tgt)]
+    raw_b = [f[:, None] for f in raw]
+    d_fused = L.distance_from_raw_features(p16, raw_b, tfeats)
+    d_ref = L.distance_from_features(
+        p16, tfeats, [L.normalize_feat(f) for f in raw_b]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_fused), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    g_fused = jax.grad(lambda fs: jnp.sum(
+        L.distance_from_raw_features(p16, fs, tfeats)).astype(jnp.float32))(raw_b)
+    g_ref = jax.grad(lambda fs: jnp.sum(L.distance_from_features(
+        p16, tfeats, [L.normalize_feat(f) for f in fs])).astype(jnp.float32))(raw_b)
+    for gf, gr in zip(g_fused, g_ref):
+        gf32, gr32 = np.asarray(gf, np.float32), np.asarray(gr, np.float32)
+        scale = max(np.abs(gr32).max(), 1e-6)
+        assert np.abs(gf32 - gr32).max() / scale < 0.05

@@ -171,3 +171,28 @@ def test_negative_pads_nonseparable_deterministic():
     np.testing.assert_allclose(
         np.asarray(got_up), np.asarray(want_up), rtol=1e-5, atol=1e-6
     )
+
+
+def test_maxpool2x2_matches_reduce_window():
+    """ops/pool.maxpool2x2 (the SelectAndScatter-free spelling used by the
+    LPIPS VGG slices and BigGAN attention) must be bit-identical to the
+    reduce_window reference in the forward and match its gradient on
+    tie-free input."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.pool import (
+        maxpool2x2,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
+
+    def ref_pool(v):
+        return jax.lax.reduce_window(
+            v, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(maxpool2x2(x)), np.asarray(ref_pool(x))
+    )
+    g_new = jax.grad(lambda v: jnp.sum(jnp.sin(maxpool2x2(v))))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(jnp.sin(ref_pool(v))))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-6)
