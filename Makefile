@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench dryrun parity clean
+.PHONY: all native test test-fast bench dryrun parity quality_selftrain clean
 
 all: native
 
@@ -34,6 +34,22 @@ parity:
 	  --img_size 256 --key_len 64 --shift 448 --sigma 1 \
 	  --steps 200 --sample_size 5 --n 4 --dtype bfloat16 \
 	  --save_dir ./result/parity/
+
+# Self-contained quality proof (no external weights needed): train a
+# small StyleGAN2 on the procedural distribution (training/data.py), then
+# run the fingerprint -> attribute loop against the TRAINED generator and
+# report real key-recovery bit accuracy.  See BASELINE.md for the
+# measured operating point.
+SELFTRAIN_CKPT ?= /tmp/selftrain64.npz
+quality_selftrain:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.train \
+	  --img_size 64 --channel_max 256 --steps 10000 --batch 32 --chunk 250 \
+	  --out $(SELFTRAIN_CKPT)
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.attribute \
+	  --ckpt $(SELFTRAIN_CKPT) --img_size 64 --channel_max 256 \
+	  --key_len 64 --shift 448 --sigma 3 --loss mse \
+	  --steps 500 --sample_size 5 --n 8 \
+	  --save_dir ./result/selftrain/
 
 clean:
 	$(MAKE) -C native clean

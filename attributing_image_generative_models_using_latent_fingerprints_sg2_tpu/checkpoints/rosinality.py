@@ -48,7 +48,15 @@ from ..models.stylegan2 import channel_map, noise_shapes
 
 
 def load_torch_state_dict(path: str, key: str = "g_ema") -> Dict[str, np.ndarray]:
-    """Read a rosinality .pt checkpoint into {name: float32 ndarray}."""
+    """Read a rosinality checkpoint into {name: float32 ndarray}.
+
+    Accepts either a torch ``.pt`` (the reference format, loaded with
+    torch) or a portable ``.npz`` with the same tensor names (the format
+    ``cli/train.py`` exports — loadable without torch)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: np.asarray(z[k], dtype=np.float32) for k in z.files}
+
     import torch  # local import: torch is optional at runtime
 
     blob = torch.load(path, map_location="cpu", weights_only=False)

@@ -55,6 +55,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="Blur attack filter size at eval (ref Gaussian_blur.py:16-20)")
     p.add_argument("--crop_ratio", type=float, default=0.9,
                    help="Crop attack window ratio (benchmark config 4 extra)")
+    # architecture overrides (reference hardcodes 512/8/512, src/generator.py:43-47;
+    # needed to load non-default checkpoints, e.g. cli.train exports)
+    p.add_argument("--style_dim", type=int, default=512, help="w-space dimensionality")
+    p.add_argument("--n_mlp", type=int, default=8, help="mapping network depth")
+    p.add_argument("--channel_max", type=int, default=512,
+                   help="per-resolution channel cap (512 = reference table)")
     # TPU-native extras (no reference equivalent)
     p.add_argument("--seed", type=int, default=0, help="global PRNG seed")
     p.add_argument("--loss", type=str, default="perceptual", help="perceptual | mse")
@@ -95,6 +101,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model=ModelConfig(
             model=args.model,
             img_size=args.img_size,
+            style_dim=getattr(args, "style_dim", 512),
+            n_mlp=getattr(args, "n_mlp", 8),
+            channel_max=getattr(args, "channel_max", 512),
             ckpt=None if args.random_init else args.ckpt,
             biggan_label=args.biggan_label,
         ),
