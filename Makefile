@@ -38,17 +38,17 @@ parity:
 # Self-contained quality proof (no external weights needed): train a
 # small StyleGAN2 on the procedural distribution (training/data.py), then
 # run the fingerprint -> attribute loop against the TRAINED generator and
-# report real key-recovery bit accuracy.  See BASELINE.md for the
-# measured operating point.
+# report real key-recovery bit accuracy.  Measured (BASELINE.md): mean
+# bit acc 0.975 / exact-match 0.40 at this operating point (chance 0.5).
 SELFTRAIN_CKPT ?= /tmp/selftrain64.npz
 quality_selftrain:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.train \
-	  --img_size 64 --channel_max 256 --steps 10000 --batch 32 --chunk 250 \
+	  --img_size 64 --channel_max 128 --steps 3000 --batch 16 --chunk 150 \
 	  --out $(SELFTRAIN_CKPT)
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.attribute \
-	  --ckpt $(SELFTRAIN_CKPT) --img_size 64 --channel_max 256 \
-	  --key_len 64 --shift 448 --sigma 3 --loss mse \
-	  --steps 500 --sample_size 5 --n 8 \
+	  --ckpt $(SELFTRAIN_CKPT) --img_size 64 --channel_max 128 \
+	  --key_len 32 --shift 480 --sigma 6 --loss mse \
+	  --steps 2000 --sample_size 5 --n 20 \
 	  --save_dir ./result/selftrain/
 
 clean:

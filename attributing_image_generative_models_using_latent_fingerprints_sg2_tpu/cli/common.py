@@ -64,6 +64,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     # TPU-native extras (no reference equivalent)
     p.add_argument("--seed", type=int, default=0, help="global PRNG seed")
     p.add_argument("--loss", type=str, default="perceptual", help="perceptual | mse")
+    p.add_argument("--coarse_to_fine", action="store_true",
+                   help="anneal a Gaussian blur on estimate+target during the "
+                   "solve (mse loss only): smooths high-frequency local minima")
+    p.add_argument("--ctf_sigma0", type=float, default=2.0,
+                   help="initial coarse-to-fine blur sigma (pixels)")
+    p.add_argument("--ctf_frac", type=float, default=0.5,
+                   help="fraction of steps over which the blur anneals to 0")
     p.add_argument("--dtype", type=str, default="float32", help="float32 | bfloat16")
     p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
     p.add_argument("--mesh_data", type=int, default=0,
@@ -118,6 +125,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
             n_starts=args.n,
             lr=args.lr,
             loss=args.loss,
+            coarse_to_fine=getattr(args, "coarse_to_fine", False),
+            ctf_sigma0=getattr(args, "ctf_sigma0", 2.0),
+            ctf_frac=getattr(args, "ctf_frac", 0.5),
         ),
         attack=AttackConfig(
             augmentation=args.augmentation,

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_reg_every", type=int, default=16)
     p.add_argument("--mixing", type=float, default=0.9)
     p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--data_sharp", action="store_true",
+                   help="train on the sharp-feature data variant (rectangles + "
+                   "stripes; measured LESS attributable than the smooth "
+                   "default, see BASELINE.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=100,
                    help="steps per device dispatch (amortizes axon overhead)")
@@ -71,7 +75,7 @@ def main(argv=None) -> int:
     )
     tcfg = TrainConfig(
         batch=args.batch, lr=args.lr, r1=args.r1, d_reg_every=args.d_reg_every,
-        mixing=args.mixing, ema_decay=args.ema_decay,
+        mixing=args.mixing, ema_decay=args.ema_decay, data_sharp=args.data_sharp,
     )
     step = make_train_step(mcfg, tcfg)
 

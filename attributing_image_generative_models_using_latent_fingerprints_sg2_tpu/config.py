@@ -77,6 +77,15 @@ class AttributionConfig:
     bound_weight: float = 0.1  # weight of the alpha-bound penalty, ref src/main.py:65
     loss: str = "perceptual"  # "perceptual" | "mse" (ref src/utils.py:44-50)
     log_every: int = 100
+    # Coarse-to-fine annealing (beyond-parity solver option, mse loss
+    # only): compare Gaussian-blurred estimate/target early in the
+    # schedule, sharpening linearly to the exact images by
+    # ctf_frac*steps.  Smooths the loss landscape created by
+    # high-frequency content (stripe-phase local minima), measured to
+    # rescue otherwise-stuck restarts (BASELINE.md selftrain table).
+    coarse_to_fine: bool = False
+    ctf_sigma0: float = 2.0  # initial blur sigma (pixels)
+    ctf_frac: float = 0.5  # fraction of steps over which blur anneals to 0
 
 
 @dataclasses.dataclass(frozen=True)

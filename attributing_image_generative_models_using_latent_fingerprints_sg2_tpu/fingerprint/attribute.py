@@ -76,6 +76,37 @@ def _make_optimizer(acfg: AttributionConfig) -> optax.GradientTransformation:
     )
 
 
+_CTF_TAPS = 9  # static blur support; sigma anneals inside the fixed window
+
+
+def _ctf_blur(x: jax.Array, sigma: jax.Array) -> jax.Array:
+    """Separable Gaussian blur with a TRACED sigma (static 9-tap window).
+
+    As sigma -> 0 the kernel degenerates to the identity tap, so one
+    compiled program covers the whole coarse-to-fine schedule.  SAME
+    zero-padding; x is [..., H, W, C]."""
+    r = _CTF_TAPS // 2
+    off = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    s = jnp.maximum(sigma, 1e-3)
+    k1 = jnp.exp(-0.5 * jnp.square(off / s))
+    k1 = (k1 / jnp.sum(k1)).astype(x.dtype)
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    xf = x.reshape((-1, h, w, c))
+    kh = k1.reshape(_CTF_TAPS, 1, 1, 1) * jnp.ones((1, 1, 1, c), x.dtype)
+    kw = k1.reshape(1, _CTF_TAPS, 1, 1) * jnp.ones((1, 1, 1, c), x.dtype)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        xf, kh, (1, 1), ((r, r), (0, 0)), dimension_numbers=dn,
+        feature_group_count=c,
+    )
+    y = jax.lax.conv_general_dilated(
+        y, kw, (1, 1), ((0, 0), (r, r)), dimension_numbers=dn,
+        feature_group_count=c,
+    )
+    return y.reshape(lead + (h, w, c))
+
+
 def make_attribution_step(
     gen_params,
     lpips_params,
@@ -101,7 +132,7 @@ def make_attribution_step(
     """
     nl = sg2.n_latent(mcfg.img_size)
 
-    def per_elem_loss(opt_params) -> jax.Array:
+    def per_elem_loss(opt_params, ctf_sigma=None) -> jax.Array:
         alpha, key_logits = opt_params["alpha"], opt_params["key"]  # [S,n,*]
         s_, n_ = alpha.shape[0], alpha.shape[1]
         k = jax.nn.sigmoid(key_logits)
@@ -139,20 +170,26 @@ def make_attribution_step(
                 lpips_params, feats, target_feats
             )
         else:
-            d = imgs.astype(jnp.float32).reshape((s_, n_) + imgs.shape[1:]) - targets
-            per = jnp.mean(jnp.square(d), axis=(-3, -2, -1))
+            est = imgs.astype(jnp.float32).reshape((s_, n_) + imgs.shape[1:])
+            tgt = targets
+            if acfg.coarse_to_fine and ctf_sigma is not None:
+                # anneal: compare blurred estimate/target early (smooth
+                # landscape), exact images once sigma has decayed to 0
+                est = _ctf_blur(est, ctf_sigma)
+                tgt = _ctf_blur(tgt.astype(jnp.float32), ctf_sigma)
+            per = jnp.mean(jnp.square(est - tgt), axis=(-3, -2, -1))
         bound = alpha_bound_penalty(basis, alpha)  # [S, n]
         return per + acfg.bound_weight * bound
 
-    def total_loss(opt_params):
-        per = per_elem_loss(opt_params)
+    def total_loss(opt_params, ctf_sigma=None):
+        per = per_elem_loss(opt_params, ctf_sigma)
         return jnp.sum(per), per
 
     grad_fn = jax.grad(total_loss, has_aux=True)
 
-    def step(carry, _):
+    def step(carry, ctf_sigma):
         opt_params, opt_state = carry
-        grads, per = grad_fn(opt_params)
+        grads, per = grad_fn(opt_params, ctf_sigma)
         updates, opt_state = optimizer.update(grads, opt_state, opt_params)
         opt_params = optax.apply_updates(opt_params, updates)
         return (opt_params, opt_state), per
@@ -219,9 +256,15 @@ def attribute(
         truncation=truncation,
     )
 
-    (opt_params, _), per = jax.lax.scan(
-        step, (opt_params, opt_state), None, length=steps
-    )
+    if acfg.coarse_to_fine and acfg.loss == "mse":
+        # linear anneal to 0 over the first ctf_frac of the schedule
+        anneal = max(1, int(acfg.ctf_frac * steps))
+        xs = acfg.ctf_sigma0 * jnp.maximum(
+            0.0, 1.0 - jnp.arange(steps, dtype=jnp.float32) / anneal
+        )
+    else:
+        xs = jnp.zeros((steps,))  # step ignores the sigma when ctf is off
+    (opt_params, _), per = jax.lax.scan(step, (opt_params, opt_state), xs)
     final_per = per[-1]  # [S, n] last-step per-element loss (pre-update,
     # matching the reference which records loss before the final update's
     # effect is observed, src/main.py:79)

@@ -45,6 +45,7 @@ class TrainConfig:
     d_reg_every: int = 16
     mixing: float = 0.9
     ema_decay: float = 0.999
+    data_sharp: bool = False  # sharp-feature data variant (see data.py)
 
 
 class TrainState(NamedTuple):
@@ -107,7 +108,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
 
     def step(state: TrainState, key: jax.Array):
         k_data, k_lat_d, k_noise_d, k_lat_g, k_noise_g = jax.random.split(key, 5)
-        real = sample_batch(k_data, tcfg.batch, mcfg.img_size)
+        real = sample_batch(k_data, tcfg.batch, mcfg.img_size, tcfg.data_sharp)
 
         # ---- D update -------------------------------------------------
         latent_d = _mixed_latent(state.g_params, k_lat_d, tcfg.batch, mcfg, tcfg.mixing)

@@ -210,3 +210,47 @@ def test_latent_cosine_metric(pipe, solved):
     exact = np.asarray(ev["exact"]).astype(bool)
     assert (cos[exact] > 0.99).all(), cos
     assert float(ev["mean_latent_cos"]) > 0.9
+
+
+def test_coarse_to_fine_recovers_keys(pipe, solved):
+    """CTF annealing (mse-only beyond-parity option): on the same inputs
+    the plain solver handles, CTF recovers the keys as well (its value is
+    rescuing high-frequency-content local minima, measured on trained
+    generators in BASELINE.md); and with the anneal disabled (sigma0=0)
+    the program is numerically identical to the plain solver."""
+    res_plain, bits = solved
+    imgs, w0, wx, bits2, alpha = pl.generate_fingerprinted(
+        pipe, jax.random.PRNGKey(1), 3
+    )
+
+    acfg_ctf = AttributionConfig(
+        steps=500, n_starts=4, lr=0.2, loss="mse",
+        coarse_to_fine=True, ctf_sigma0=1.5, ctf_frac=0.3,
+    )
+    res = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(2), mcfg=MCFG, acfg=acfg_ctf,
+    )
+    ev = attr.evaluate_attribution(res, bits)
+    ev_plain = attr.evaluate_attribution(res_plain, bits)
+    assert float(ev["mean_bit_acc"]) >= float(ev_plain["mean_bit_acc"]) - 0.05, (
+        np.asarray(ev["bit_acc"]), np.asarray(ev_plain["bit_acc"])
+    )
+    assert float(ev["mean_bit_acc"]) > 0.85, np.asarray(ev["bit_acc"])
+
+    acfg_zero = AttributionConfig(
+        steps=60, n_starts=2, lr=0.2, loss="mse",
+        coarse_to_fine=True, ctf_sigma0=0.0,
+    )
+    acfg_off = AttributionConfig(steps=60, n_starts=2, lr=0.2, loss="mse")
+    res_zero = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(13), mcfg=MCFG, acfg=acfg_zero,
+    )
+    res_off = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
+        jax.random.PRNGKey(13), mcfg=MCFG, acfg=acfg_off,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_zero.loss), np.asarray(res_off.loss), rtol=1e-5, atol=1e-7
+    )

@@ -134,3 +134,19 @@ def test_tiny_training_stays_stable():
     img, _ = sg2.generate(state.g_ema, [w], MCFG, fixed_noise=True)
     im = np.asarray(img)
     assert np.isfinite(im).all() and im.std() > 1e-3
+
+
+def test_sample_batch_sharp_variant():
+    """sharp=True adds high-frequency content (rectangles/stripes) on top
+    of the same smooth base; both stay in range."""
+    k = jax.random.PRNGKey(4)
+    smooth = np.asarray(sample_batch(k, 2, 32))
+    sharp = np.asarray(sample_batch(k, 2, 32, sharp=True))
+    assert np.isfinite(sharp).all()
+    assert sharp.min() >= -1.0 and sharp.max() <= 1.0
+    assert np.abs(sharp - smooth).max() > 1e-3  # the extra content exists
+
+    def hf_energy(x):  # mean squared horizontal pixel diff = high-freq proxy
+        return float(np.mean((x[:, :, 1:] - x[:, :, :-1]) ** 2))
+
+    assert hf_energy(sharp) > hf_energy(smooth)
