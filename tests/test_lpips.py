@@ -168,3 +168,52 @@ def test_fused_slice_distance_bf16_close(params):
         gf32, gr32 = np.asarray(gf, np.float32), np.asarray(gr, np.float32)
         scale = max(np.abs(gr32).max(), 1e-6)
         assert np.abs(gf32 - gr32).max() / scale < 0.05
+
+
+REF_WEIGHTS = "/root/reference/src/custom_lpips/weights/v0.1"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_WEIGHTS), reason="reference lin-head weights not on disk"
+)
+@pytest.mark.parametrize(
+    "name,n_layers,chans",
+    [
+        ("vgg", 5, (64, 128, 256, 512, 512)),
+        ("alex", 5, (64, 192, 384, 256, 256)),
+        ("squeeze", 7, (64, 128, 256, 384, 384, 512, 512)),
+    ],
+)
+def test_real_reference_lin_weights_convert(name, n_layers, chans):
+    """Cross-validation of the torch-format lin-head converter against the
+    REFERENCE'S OWN shipped weight files (custom_lpips/weights/v0.1/*.pth,
+    loaded as data) — round 1 only exercised synthetic state dicts.  The
+    trained heads must have the documented per-slice channel widths and
+    the non-negative weighting LPIPS training enforces
+    (networks_basic.py NetLinLayer 1x1 conv heads)."""
+    lins = L.load_lin_weights_torch(f"{REF_WEIGHTS}/{name}.pth", n_layers=n_layers)
+    assert tuple(l.shape[0] for l in lins) == chans
+    for l in lins:
+        assert np.isfinite(l).all()
+        assert float(l.min()) >= 0.0
+        assert float(l.max()) > 0.0  # trained, not dead
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_WEIGHTS), reason="reference lin-head weights not on disk"
+)
+def test_real_lin_weights_through_full_lpips():
+    """build_lpips_params with the real vgg lin heads yields a working
+    metric: d(x,x)=0, d(x,y)>0, and the real heads re-weight slice
+    contributions differently from the uniform init."""
+    p_uniform = L.init_lpips_params(jax.random.PRNGKey(0))
+    p_real = L.build_lpips_params(
+        jax.random.PRNGKey(0), lin_path=f"{REF_WEIGHTS}/vgg.pth"
+    )
+    x = _img(31, b=1, s=32)
+    y = _img(32, b=1, s=32)
+    d_same = float(L.lpips(p_real, x, x)[0])
+    d_diff = float(L.lpips(p_real, x, y)[0])
+    assert abs(d_same) < 1e-6
+    assert d_diff > 0
+    assert abs(d_diff - float(L.lpips(p_uniform, x, y)[0])) > 1e-9
