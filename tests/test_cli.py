@@ -225,3 +225,37 @@ def test_attribute_cli_resumes_after_midrun_crash(tmp_path, monkeypatch):
     st2 = json.load(open(os.path.join(run, "attribution_state.json")))
     assert st2["next_sample"] == 2 and len(st2["bit_accs"]) == 2
     assert open(os.path.join(run, "result.txt")).read() == oracle_txt
+
+
+def test_train_cli_exports_loadable_ckpt(tmp_path):
+    """cli.train end-to-end at smoke scale: parses flags, runs scanned
+    steps, exports a rosinality-layout .npz that cli.attribute can load
+    via --ckpt (the full selftrain quality-loop plumbing; measured
+    operating points in BASELINE.md)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+        attribute as attribute_cli,
+        train as train_cli,
+    )
+
+    out = str(tmp_path / "tiny_ema.npz")
+    rc = train_cli.main([
+        "--img_size", "16", "--style_dim", "32", "--n_mlp", "2",
+        "--channel_max", "32", "--steps", "2", "--batch", "4",
+        "--chunk", "2", "--out", out, "--compile_cache", "",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+
+    save_dir = str(tmp_path / "res")
+    rc = attribute_cli.main([
+        "--model", "sg2", "--ckpt", out, "--img_size", "16",
+        "--style_dim", "32", "--n_mlp", "2", "--channel_max", "32",
+        "--key_len", "4", "--shift", "28", "--sigma", "1.0",
+        "--sample_size", "1", "--steps", "5", "--n", "2", "--loss", "mse",
+        "--save_dir", save_dir, "--compile_cache", "",
+    ])
+    assert rc == 0
+    results = []
+    for root, _, files in os.walk(save_dir):
+        results += [os.path.join(root, f) for f in files if f == "result.txt"]
+    assert results, "attribute against the trained ckpt wrote no result.txt"
