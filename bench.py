@@ -384,10 +384,58 @@ def bench_biggan(img_size: int = 256) -> dict:
     }
 
 
+def bench_train(img_size: int = 64) -> dict:
+    """GAN training throughput (the round-2 beyond-parity subsystem,
+    training/gan.py): one fused D+G step incl. lazy R1, marginal between
+    two scan lengths.  Matches the `make quality_selftrain` recipe
+    (64px, channel_max=128, batch 16)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.training.gan import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    mcfg = ModelConfig(img_size=img_size, channel_max=128, ckpt=None)
+    tcfg = TrainConfig(batch=16)
+    step = make_train_step(mcfg, tcfg)
+    state0 = init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+
+    def make_callable(n_steps):
+        def run(state, rng):
+            def body(s, j):
+                s2, m = step(s, jax.random.fold_in(rng, j))
+                return s2, 0.0
+            s, _ = jax.lax.scan(body, state, jnp.arange(n_steps))
+            # fetch depends on the UPDATED weights so XLA cannot DCE the
+            # training compute (a bare step counter would be eliminated)
+            return jnp.sum(s.g_params["conv1"]["weight"].astype(jnp.float32))
+        return jax.jit(run)
+
+    seed = [300]
+
+    def fresh_args():
+        seed[0] += 1
+        return (state0, jax.random.PRNGKey(seed[0]))
+
+    n1, n2 = 20, 120
+    dt = _measure_marginal(make_callable, n1, n2, fresh_args)
+    steps_per_sec = (n2 - n1) / dt
+    return {
+        "metric": f"GAN training steps/sec ({img_size}px, batch {tcfg.batch}, fused D+G+R1, marginal)",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        # the reference has no training path to compare against
+        "vs_baseline": None,
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "--preset", choices=["default", "1024px", "generate", "biggan"],
+        "--preset", choices=["default", "1024px", "generate", "biggan", "train"],
         default="default"
     )
     parser.add_argument(
@@ -454,6 +502,9 @@ def main() -> int:
                 out = bench_generate(args.gen_size)
             elif args.preset == "biggan":
                 out = bench_biggan(min(args.gen_size, 256))
+            elif args.preset == "train":
+                # --gen_size reuses its default (1024) as "unset" -> 64px
+                out = bench_train(64 if args.gen_size == 1024 else min(args.gen_size, 128))
             elif args.preset == "1024px":
                 out = bench_attribution(
                     1024, args.samples, args.n_starts, args.loss, args.remat_lpips)
