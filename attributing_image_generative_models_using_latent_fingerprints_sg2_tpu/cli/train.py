@@ -88,25 +88,31 @@ def main(argv=None) -> int:
 
     chunk = max(1, args.chunk)
 
-    @jax.jit
-    def run_chunk(state, base_key, chunk_i):
-        def body(s, j):
-            return step(s, jax.random.fold_in(base_key, chunk_i * chunk + j))
-        return lax.scan(body, state, jnp.arange(chunk))
+    from functools import partial
 
+    @partial(jax.jit, static_argnames="length")
+    def run_chunk(state, base_key, start, length):
+        def body(s, j):
+            return step(s, jax.random.fold_in(base_key, j))
+        return lax.scan(body, state, start + jnp.arange(length))
+
+    # size the last chunk to steps - ci*chunk so exactly args.steps run
+    # (a short tail chunk costs one extra compile, only when steps % chunk)
     n_chunks = (args.steps + chunk - 1) // chunk
     t0 = time.time()
+    done = 0
     for ci in range(n_chunks):
-        state, metrics = run_chunk(state, k_run, ci)
+        length = min(chunk, args.steps - done)
+        state, metrics = run_chunk(state, k_run, jnp.int32(done), length)
+        done += length
         if ci % max(1, args.log_every) == 0 or ci == n_chunks - 1:
             last = {k: float(np.asarray(v[-1])) for k, v in metrics.items()}
-            done = min((ci + 1) * chunk, args.steps)
             dt = time.time() - t0
             print(f"[train] step {done}/{args.steps}  d {last['d_loss']:.3f}  "
                   f"g {last['g_loss']:.3f}  r1 {last['r1']:.3f}  "
                   f"({done/dt:.1f} steps/s)")
     dt = time.time() - t0
-    print(f"[train] {args.steps} steps in {dt:.1f}s ({args.steps/dt:.1f} steps/s)")
+    print(f"[train] {done} steps in {dt:.1f}s ({done/dt:.1f} steps/s)")
 
     if args.out:
         from ..checkpoints.rosinality import generator_state_dict_from_params

@@ -256,6 +256,12 @@ def attribute(
         truncation=truncation,
     )
 
+    if acfg.coarse_to_fine and acfg.loss != "mse":
+        raise ValueError(
+            "--coarse_to_fine requires --loss mse: the anneal blurs the "
+            "residual inside the mse objective and has no effect on "
+            f"perceptual losses (got loss={acfg.loss!r})"
+        )
     if acfg.coarse_to_fine and acfg.loss == "mse":
         # linear anneal to 0 over the first ctf_frac of the schedule
         anneal = max(1, int(acfg.ctf_frac * steps))

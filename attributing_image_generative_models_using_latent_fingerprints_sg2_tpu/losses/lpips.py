@@ -69,11 +69,12 @@ def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
 # Pallas routing for the backbone's square 3x3+ReLU convs (see
 # ops/vgg_pallas.py).  OFF by default: the A/B (BASELINE.md) measured the
 # per-conv kernel SLOWER in context (325 vs 405 chain-steps/s) --- kept as
-# a verified opt-in for future fused-slice work.  The routed
-# path treats the backbone weights as FROZEN (zero weight cotangents) ---
-# true for every consumer here (solver optimizes latents, LPIPS training
-# optimizes lin heads only, ref dist_model.py:88-99); disable when
-# differentiating through backbone weights.
+# a verified opt-in for future fused-slice work.  Weight/bias cotangents
+# on the routed path are computed via an XLA linearization of the conv
+# (vgg_pallas._bwd) --- correct if anything differentiates backbone
+# weights, dead-code-eliminated on the frozen hot paths here (solver
+# optimizes latents, LPIPS training optimizes lin heads only, ref
+# dist_model.py:88-99).
 _VGG_PALLAS = False
 
 

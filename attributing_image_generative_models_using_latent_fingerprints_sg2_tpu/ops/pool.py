@@ -31,6 +31,12 @@ import jax.numpy as jnp
 
 def _pool(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"maxpool2x2 requires even H and W (non-overlapping 2x2/2 "
+            f"windows); got H={h}, W={w}. Pad or use the reduce_window "
+            f"pool for odd sizes."
+        )
     return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
 
 

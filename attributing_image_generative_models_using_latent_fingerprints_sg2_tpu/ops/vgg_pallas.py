@@ -241,7 +241,22 @@ def _bwd(res, g):
         dz, _prep(_flip_transpose(w_hwio), c, dz.dtype), jnp.zeros_like(bias),
         relu=False, th=th,
     )
-    return (dx, jnp.zeros_like(w_hwio), jnp.zeros_like(bias))
+    # True weight/bias cotangents via the XLA linearization of the conv's
+    # linear part (the Pallas kernel only accelerates the activation path).
+    # Under jit these are dead-code-eliminated whenever the caller does not
+    # differentiate w.r.t. the backbone weights (the LPIPS hot path), so
+    # they cost nothing there while making e.g. lin-head fine-tuning that
+    # reaches the backbone correct instead of silently zero.
+    def _linear(wv, bv):
+        out = lax.conv_general_dilated(
+            x, wv.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bv.astype(x.dtype)
+
+    _, lin_vjp = jax.vjp(_linear, w_hwio, bias)
+    dw, db = lin_vjp(dz)
+    return (dx, dw, db)
 
 
 conv3x3_relu.defvjp(_fwd, _bwd)

@@ -27,7 +27,8 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     generator (mean bit acc 0.89 vs 0.84 at the same budget) --- sharp
     content makes the inversion loss landscape spikier, which costs more
     (stuck restarts) than the better-conditioned Jacobian buys."""
-    kbg, kpos, kscale, kang, kcol, kamp, krect, kstripe = jax.random.split(key, 8)
+    (kbg, kdir, kpos, kscale, kang, kcol, kamp, krect,
+     kstripe) = jax.random.split(key, 9)
 
     yy, xx = jnp.meshgrid(
         jnp.linspace(-1.0, 1.0, size), jnp.linspace(-1.0, 1.0, size), indexing="ij"
@@ -35,7 +36,7 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
 
     # background: oriented linear gradient between two random colors
     c0, c1 = jax.random.uniform(kbg, (2, 3), minval=-0.8, maxval=0.8)
-    gdir = jax.random.normal(kbg, (2,))
+    gdir = jax.random.normal(kdir, (2,))
     gdir = gdir / (jnp.linalg.norm(gdir) + 1e-6)
     t = (yy * gdir[0] + xx * gdir[1]) * 0.5 + 0.5
     img = c0 * (1.0 - t[..., None]) + c1 * t[..., None]

@@ -423,12 +423,36 @@ def bench_train(img_size: int = 64) -> dict:
     n1, n2 = 20, 120
     dt = _measure_marginal(make_callable, n1, n2, fresh_args)
     steps_per_sec = (n2 - n1) / dt
+
+    # FLOPs of one fused train step (scan body counted once by XLA's cost
+    # model, so lower the bare step program). The R1 branch is lazy
+    # (every d_reg_every steps) inside lax.cond; XLA counts both branches,
+    # so this slightly overstates the average step -> MFU is an upper
+    # bound on the optimistic side by < r1_cost/d_reg_every.
+    try:
+        fl_step = _flops_of(
+            jax.jit(lambda s, r: step(s, r)[0])
+            .lower(state0, jax.random.PRNGKey(0))
+            .compile()
+        )
+    except Exception as e:
+        print(f"train-step cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        fl_step = None
+    peak = _peak_flops(jax)
+    mfu = (
+        fl_step * (n2 - n1) / dt / peak
+        if (fl_step and peak and dt > 0)
+        else None
+    )
     return {
         "metric": f"GAN training steps/sec ({img_size}px, batch {tcfg.batch}, fused D+G+R1, marginal)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         # the reference has no training path to compare against
         "vs_baseline": None,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_step": round(fl_step) if fl_step else None,
     }
 
 

@@ -52,19 +52,32 @@ def test_conv3x3_relu_matches_xla(shape):
     )
 
 
-def test_conv3x3_relu_grad_x_matches_xla():
-    """dx must match the XLA conv's VJP; the kernel freezes (w, b) by
-    contract (zero cotangents), so only the activation gradient is
-    compared."""
+def test_conv3x3_relu_grads_match_xla():
+    """dx, dw, db must all match the XLA conv's VJP (the weight/bias
+    cotangents come from the XLA linearization inside vp._bwd; they are
+    dead-code-eliminated on frozen-backbone hot paths but must be CORRECT
+    whenever someone differentiates through backbone weights)."""
     x, w, b = _case(1, 16, 16, 64)
+
+    def loss(fn, a, ww, bb):
+        return jnp.sum(fn(a, ww, bb) ** 2)
+
     with pltpu.force_tpu_interpret_mode():
-        g = jax.grad(lambda a: jnp.sum(vp.conv3x3_relu(a, w, b) ** 2))(x)
-        gw = jax.grad(lambda ww: jnp.sum(vp.conv3x3_relu(x, ww, b)))(w)
-    g_ref = jax.grad(lambda a: jnp.sum(vp.conv3x3_relu_reference(a, w, b) ** 2))(x)
+        g, gw, gb = jax.grad(lambda a, ww, bb: loss(vp.conv3x3_relu, a, ww, bb),
+                             argnums=(0, 1, 2))(x, w, b)
+    g_ref, gw_ref, gb_ref = jax.grad(
+        lambda a, ww, bb: loss(vp.conv3x3_relu_reference, a, ww, bb),
+        argnums=(0, 1, 2),
+    )(x, w, b)
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4
     )
-    np.testing.assert_array_equal(np.asarray(gw), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(gw_ref), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb), np.asarray(gb_ref), rtol=1e-3, atol=1e-4
+    )
 
 
 def test_conv3x3_relu_bf16():
