@@ -94,6 +94,20 @@ def _conv3x3_relu(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     return jax.nn.relu(_conv3x3(x, w, b))
 
 
+# Fused slice-1 Pallas kernel (conv 3->64 + relu + conv 64->64 + relu in
+# one VMEM pass, ops/vgg_slice_pallas.py) --- the round-3 multi-op fusion
+# experiment targeting the measured LPIPS bandwidth wall; A/B measured via
+# ``bench.py --fused_slice`` (results in BASELINE.md).
+_VGG_SLICE_FUSED = False
+
+
+def enable_fused_slice(on: bool = True) -> None:
+    global _VGG_SLICE_FUSED
+    if bool(on) != _VGG_SLICE_FUSED:
+        jax.clear_caches()  # trace-time switch: drop stale executables
+    _VGG_SLICE_FUSED = bool(on)
+
+
 def _maxpool2(x: jax.Array) -> jax.Array:
     # reshape-max, not reduce_window: the latter's gradient lowers to the
     # slow TPU SelectAndScatter (see ops/pool.py), and this pool sits in
@@ -101,12 +115,30 @@ def _maxpool2(x: jax.Array) -> jax.Array:
     return maxpool2x2(x)
 
 
-def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List[jax.Array]:
-    """x: [B,H,W,3] (already scaled) -> 5 post-ReLU feature maps."""
+def vgg16_features(
+    params: Sequence[Dict[str, jax.Array]], x: jax.Array, n_slices: int = 5
+) -> List[jax.Array]:
+    """x: [B,H,W,3] (already scaled) -> first ``n_slices`` post-ReLU
+    feature maps (5 = the full LPIPS stack; smaller values truncate the
+    backbone, used by the per-slice roofline in bench.py)."""
     feats = []
     conv_i = 0
-    slice_ends = set(SLICE_END_CONV)
-    for item in VGG16_PLAN:
+    slice_ends = set(SLICE_END_CONV[:n_slices])
+    last_conv = SLICE_END_CONV[n_slices - 1]
+    if _VGG_SLICE_FUSED:
+        from ..ops import vgg_slice_pallas
+
+        if vgg_slice_pallas.eligible(x.shape):
+            x = vgg_slice_pallas.vgg_slice1(
+                x, params[0]["weight"], params[0]["bias"],
+                params[1]["weight"], params[1]["bias"],
+            )
+            feats.append(x)  # conv 1 == SLICE_END_CONV[0] (relu1_2)
+            if last_conv <= 1:
+                return feats
+            conv_i = 2
+    plan_pos = 0 if conv_i == 0 else 2  # skip the two fused convs
+    for item in VGG16_PLAN[plan_pos:]:
         if item == "M":
             x = _maxpool2(x)
         else:
@@ -114,6 +146,8 @@ def vgg16_features(params: Sequence[Dict[str, jax.Array]], x: jax.Array) -> List
             x = _conv3x3_relu(x, p["weight"], p["bias"])
             if conv_i in slice_ends:
                 feats.append(x)
+            if conv_i >= last_conv:
+                break
             conv_i += 1
     return feats
 
@@ -218,17 +252,26 @@ def normalize_feat(f: jax.Array, eps: float = 1e-10) -> jax.Array:
     return (f.astype(jnp.float32) / (norm + eps)).astype(f.dtype)
 
 
-def extract_raw_features(params: Dict[str, Any], img: jax.Array) -> List[jax.Array]:
+def extract_raw_features(
+    params: Dict[str, Any], img: jax.Array, n_slices: int = 5
+) -> List[jax.Array]:
     """[-1,1] NHWC image -> list of UN-normalized backbone feature maps.
 
     Dispatches on the params STRUCTURE (not a string leaf --- the params
     pytree is a traced jit argument, so it may only hold arrays): a 'vgg'
     key selects VGG16; otherwise 'net' holds either the SqueezeNet dict
     (has 'fires') or the AlexNet conv tuple. Covers all three reference
-    backbones (custom_lpips/pretrained_networks.py)."""
+    backbones (custom_lpips/pretrained_networks.py), plus the in-env
+    trained-discriminator backbone (losses/disc_percept.py, 'disc' key
+    --- no VGG scaling layer: D consumes [-1,1] natively).  ``n_slices
+    < 5`` truncates the VGG backbone (per-slice roofline support)."""
+    if "disc" in params:
+        from .disc_percept import disc_features
+
+        return disc_features(params["disc"], img)
     x = scaling_layer(img)
     if "vgg" in params:
-        return vgg16_features(params["vgg"], x)
+        return vgg16_features(params["vgg"], x, n_slices=n_slices)
     net = params["net"]
     if isinstance(net, dict) and "fires" in net:
         return squeezenet_features(net, x)

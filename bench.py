@@ -456,10 +456,127 @@ def bench_train(img_size: int = 64) -> dict:
     }
 
 
+def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
+    """Per-slice cost decomposition of the LPIPS segment.
+
+    Measures, for k = 1..5, the marginal cost of one fwd+bwd pass through
+    the first k VGG slices + their fused distance heads against cached
+    target features (exactly the solver's LPIPS work per step, minus the
+    generator).  The k-to-k-1 differences attribute the measured
+    BASELINE.md "LPIPS increment" to individual slices --- the measured
+    basis for (and post-mortem of) fused-slice kernel work.  Also reports
+    XLA-counted FLOPs per k, hence per-slice achieved TFLOP/s.
+    """
+    import numpy as np
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses import (
+        lpips as lp,
+    )
+
+    params = lp.init_lpips_params(jax.random.PRNGKey(1))
+    h = img_size
+    img0 = jax.random.uniform(
+        jax.random.PRNGKey(2), (chains, h, h, 3), jnp.float32, -1.0, 1.0
+    ).astype(jnp.bfloat16)
+
+    def tfeats(k):
+        return tuple(
+            lp.normalize_feat(f)
+            for f in lp.extract_raw_features(params, img0, n_slices=k)
+        )
+
+    def make_make(k, with_grad=True):
+        tf = jax.tree.map(jax.lax.stop_gradient, tfeats(k))
+
+        def loss(x):
+            raws = lp.extract_raw_features(params, x, n_slices=k)
+            return jnp.sum(lp.distance_from_raw_features(params, raws, tf))
+
+        def make(n_steps):
+            def run(x):
+                def body(xc, i):
+                    if with_grad:
+                        g = jax.grad(loss)(xc)
+                        return (xc - jnp.bfloat16(0.01) * g.astype(xc.dtype)), 0.0
+                    # fwd only: chain via a scalar-dependent perturbation
+                    v = loss(xc)
+                    return xc * (1.0 + 1e-12 * v).astype(xc.dtype), 0.0
+
+                y, _ = jax.lax.scan(body, x, jnp.arange(n_steps))
+                return jnp.sum(y.astype(jnp.float32))
+
+            return jax.jit(run)
+
+        return make, loss
+
+    seed = [400]
+
+    def fresh_args():
+        seed[0] += 1
+        return (
+            jax.random.uniform(
+                jax.random.PRNGKey(seed[0]), (chains, h, h, 3), jnp.float32, -1, 1
+            ).astype(jnp.bfloat16),
+        )
+
+    s1, s2 = 4, 16
+    peak = _peak_flops(jax)
+    per_k = []
+    prev_ms, prev_fl = 0.0, 0.0
+    for k in range(1, 6):
+        make, loss = make_make(k)
+        dt = _measure_marginal(make, s1, s2, fresh_args)
+        ms = dt / (s2 - s1) * 1e3  # ms per fwd+bwd pass (all chains)
+        fl = None
+        try:
+            fl = _flops_of(
+                jax.jit(lambda x: jax.grad(loss)(x)).lower(img0).compile()
+            )
+        except Exception:
+            pass
+        inc_ms = ms - prev_ms
+        inc_fl = (fl - prev_fl) if fl else None
+        per_k.append(
+            {
+                "k": k,
+                "cum_ms": round(ms, 3),
+                "slice_ms": round(inc_ms, 3),
+                "slice_gflop": round(inc_fl / 1e9, 1) if inc_fl else None,
+                "slice_tflops": (
+                    round(inc_fl / (inc_ms * 1e-3) / 1e12, 1)
+                    if (inc_fl and inc_ms > 0)
+                    else None
+                ),
+                "slice_mfu": (
+                    round(inc_fl / (inc_ms * 1e-3) / peak, 3)
+                    if (inc_fl and inc_ms > 0 and peak)
+                    else None
+                ),
+            }
+        )
+        prev_ms, prev_fl = ms, (fl or prev_fl)
+
+    # fwd-only at k=5 to split forward vs backward
+    make_f, _ = make_make(5, with_grad=False)
+    dt_f = _measure_marginal(make_f, s1, s2, fresh_args)
+    fwd_ms = dt_f / (s2 - s1) * 1e3
+
+    return {
+        "metric": f"LPIPS segment per-slice decomposition ({img_size}px, {chains} chains, bf16)",
+        "value": per_k[-1]["cum_ms"],
+        "unit": "ms per fwd+bwd pass",
+        "vs_baseline": None,
+        "fwd_only_ms": round(fwd_ms, 3),
+        "bwd_ms": round(per_k[-1]["cum_ms"] - fwd_ms, 3),
+        "slices": per_k,
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "--preset", choices=["default", "1024px", "generate", "biggan", "train"],
+        "--preset",
+        choices=["default", "1024px", "generate", "biggan", "train", "lpips"],
         default="default"
     )
     parser.add_argument(
@@ -470,6 +587,11 @@ def main() -> int:
         "--vgg_pallas", action="store_true",
         help="route the LPIPS backbone's square 3x3+relu convs through the "
              "paired-tap Pallas kernel (A/B vs the XLA conv emitter)",
+    )
+    parser.add_argument(
+        "--fused_slice", action="store_true",
+        help="route VGG slice 1 through the fused conv+relu+conv+relu "
+             "Pallas kernel (ops/vgg_slice_pallas.py; A/B vs XLA)",
     )
     parser.add_argument("--samples", type=int, default=0,
                         help="override sample count (attribution presets)")
@@ -506,6 +628,12 @@ def main() -> int:
         )
 
         enable_vgg_pallas(True)
+    if args.fused_slice:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses.lpips import (
+            enable_fused_slice,
+        )
+
+        enable_fused_slice(True)
     if args.fused_upsample:
         from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
             enable_fused_upsample,
@@ -522,7 +650,11 @@ def main() -> int:
     last_err: Exception | None = None
     for attempt in range(RETRIES):
         try:
-            if args.preset == "generate":
+            if args.preset == "lpips":
+                out = bench_lpips_roofline(
+                    256 if args.gen_size == 1024 else args.gen_size
+                )
+            elif args.preset == "generate":
                 out = bench_generate(args.gen_size)
             elif args.preset == "biggan":
                 out = bench_biggan(min(args.gen_size, 256))
