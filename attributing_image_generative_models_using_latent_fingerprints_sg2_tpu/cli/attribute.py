@@ -89,6 +89,7 @@ def main(argv=None) -> int:
 
     custom_lpips = bool(
         args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
+        or args.lpips_disc
     )
     t0 = time.time()
     with prof.phase("build_pipeline"):
@@ -100,12 +101,17 @@ def main(argv=None) -> int:
             want_lpips=(cfg.attribution.loss == "perceptual" and not custom_lpips),
         )
     if cfg.attribution.loss == "perceptual" and custom_lpips:
-        from ..losses.lpips import build_lpips_params
+        if args.lpips_disc:
+            from ..losses.disc_percept import load_disc_percept
 
-        pipe.lpips_params = build_lpips_params(
-            jax.random.PRNGKey(0), vgg_path=args.lpips_vgg, lin_path=args.lpips_lin,
-            net=args.lpips_net,
-        )
+            pipe.lpips_params = load_disc_percept(args.lpips_disc)
+        else:
+            from ..losses.lpips import build_lpips_params
+
+            pipe.lpips_params = build_lpips_params(
+                jax.random.PRNGKey(0), vgg_path=args.lpips_vgg,
+                lin_path=args.lpips_lin, net=args.lpips_net,
+            )
     print(f"[attribute] pipeline built in {time.time()-t0:.1f}s")
 
     s_total = cfg.run.sample_size

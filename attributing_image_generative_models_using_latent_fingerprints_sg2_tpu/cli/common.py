@@ -91,6 +91,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lpips_net", type=str, default="vgg",
                    choices=["vgg", "alex", "squeeze"],
                    help="LPIPS backbone (ref DistModel net arg; pipelines use vgg)")
+    p.add_argument("--lpips_disc", type=str, default=None,
+                   help="path to a trained discriminator .disc.npz (cli.train "
+                   "export): use its feature stack as the perceptual backbone "
+                   "--- the in-env replacement for pretrained VGG LPIPS "
+                   "(losses/disc_percept.py)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp",
                    help="persistent XLA compilation cache dir ('' disables)")
     return p

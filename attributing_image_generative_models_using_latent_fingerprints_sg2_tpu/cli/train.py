@@ -115,12 +115,20 @@ def main(argv=None) -> int:
     print(f"[train] {done} steps in {dt:.1f}s ({done/dt:.1f} steps/s)")
 
     if args.out:
+        from ..checkpoints.flat import flatten_params
         from ..checkpoints.rosinality import generator_state_dict_from_params
 
         sd = generator_state_dict_from_params(jax.tree.map(np.asarray, state.g_ema))
         np.savez(args.out, **sd)
         print(f"[train] EMA generator exported to {args.out} "
               f"({len(sd)} tensors, rosinality names; use --ckpt {args.out})")
+        # the trained discriminator doubles as the in-env perceptual
+        # backbone (losses/disc_percept.py); flat layout, own file
+        dpath = args.out + ".disc.npz"
+        dsd = flatten_params(jax.tree.map(np.asarray, state.d_params))
+        np.savez(dpath, **dsd)
+        print(f"[train] discriminator exported to {dpath} "
+              f"({len(dsd)} tensors; use --lpips_disc {dpath})")
     return 0
 
 
