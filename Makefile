@@ -2,7 +2,8 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench dryrun parity quality_selftrain clean
+.PHONY: all native test test-fast bench dryrun parity quality_selftrain \
+        headline robustness scaling capacity perceptual clean
 
 all: native
 
@@ -50,6 +51,25 @@ quality_selftrain:
 	  --key_len 32 --shift 480 --sigma 6 --loss mse \
 	  --steps 2000 --sample_size 5 --n 20 \
 	  --save_dir ./result/selftrain/
+
+# One-command reproduction of the BASELINE.md quality tables (VERDICT r2
+# items 2/4/5).  All points: samples>=20, Wilson 95% CIs, reference solver
+# budget (steps=2000, n=20), self-trained generators cached in /tmp/fp_ckpts.
+# Each finished point appends to result/study_*.json.jsonl (resume-safe).
+headline:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study headline
+
+robustness:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study robustness
+
+scaling:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study scaling
+
+capacity:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study capacity
+
+perceptual:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study perceptual
 
 clean:
 	$(MAKE) -C native clean

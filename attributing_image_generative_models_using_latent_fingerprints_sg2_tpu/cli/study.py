@@ -1,0 +1,271 @@
+"""Quality-study CLI: one-command reproduction of every headline quality
+table (VERDICT r2 items 2/4/5).
+
+Subcommands (all numbers at ``samples >= 20`` with Wilson 95% CIs):
+
+- ``headline``: the flagship operating points (64px and 128px self-trained
+  generators, key_len 32 and 64) re-measured with real statistics.
+- ``robustness``: the reference's eval-strength attacks (Blur / Noise /
+  Jpeg / Combination / Crop, attack_initializer semantics,
+  /root/reference/src/attack_methods/attack_initializer.py:12-35) applied
+  to the targets before the solve, one row per attack.
+- ``scaling``: the key_len=64 scaling study --- bit accuracy vs generator
+  scale (img_size x channel_max x training budget) WITH the w-space
+  variance spectrum of the key band per model, so the "key band is under
+  the small-generator noise floor" hypothesis is measured.
+- ``capacity``: watermark-visibility (FID/LPIPS/MSE) vs accuracy grid
+  (wraps eval.sweep at a fixed solver budget).
+- ``perceptual``: solver-loss A/B (mse vs trained-discriminator features
+  vs random-VGG LPIPS), clean + attacked --- the in-env instantiation of
+  the reference's perceptual solver objective.
+
+Each completed point is appended to ``<out>.jsonl`` immediately (crash
+and resume safe --- finished points are skipped on re-run); the final
+table also lands in ``<out>`` as JSON.
+
+Run via ``make headline`` / ``make robustness`` / ``make scaling`` /
+``make capacity``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+DEFAULT_CACHE = "/tmp/fp_ckpts"
+
+# Scaling-study grid: (img_size, channel_max, train_steps).  Covers the
+# VERDICT-prescribed axes {64,128,256}px x {128,256,512} x {3k,10k,30k}
+# along the informative diagonal (9 models; the full 27-cell product
+# would re-measure dominated cells).
+SCALING_MODELS = [
+    (64, 128, 3000),
+    (64, 128, 30000),
+    (64, 256, 10000),
+    (128, 128, 3000),
+    (128, 128, 30000),
+    (128, 256, 10000),
+    (128, 256, 30000),
+    (256, 256, 10000),
+    (256, 512, 30000),
+]
+
+ROBUSTNESS_ATTACKS = ["None", "Blur", "Noise", "Jpeg", "Combination", "Crop"]
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("cmd", choices=["headline", "robustness", "scaling",
+                                   "capacity", "perceptual"])
+    p.add_argument("--out", type=str, default="")
+    p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
+                   help="trained-generator cache (.npz per recipe)")
+    p.add_argument("--samples", type=int, default=20)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--n", type=int, default=20)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--chunk_samples", type=int, default=10,
+                   help="solve in chunks of this many samples (memory bound)")
+    p.add_argument("--only", type=str, default="",
+                   help="substring filter on the point tag (subset runs)")
+    p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
+    return p
+
+
+def _load_done(jsonl_path: str) -> dict:
+    done = {}
+    if os.path.exists(jsonl_path):
+        with open(jsonl_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    done[rec["tag"]] = rec
+    return done
+
+
+def _run_points(args, point_specs, out_default: str) -> int:
+    """point_specs: list of (tag, model_kwargs, eval_kwargs)."""
+    import jax
+
+    from ..eval import study
+
+    out = args.out or out_default
+    jsonl = out + ".jsonl"
+    done = _load_done(jsonl)
+
+    pipes = {}  # (ckpt, img, cm) -> pipeline, built lazily and reused
+
+    results = list(done.values())
+    for tag, mk, ek in point_specs:
+        if args.only and args.only not in tag:
+            continue
+        if tag in done:
+            print(f"[study] {tag}: cached ({done[tag]['mean_bit_acc']:.4f})")
+            continue
+        t0 = time.time()
+        ckpt = study.ensure_trained(
+            img_size=mk["img_size"], channel_max=mk["channel_max"],
+            train_steps=mk["train_steps"], cache_dir=args.cache_dir,
+        )
+        pk = (ckpt, mk["img_size"], mk["channel_max"])
+        if pk not in pipes:
+            pipes.clear()  # one pipeline at a time (device memory)
+            jax.clear_caches()
+            pipes[pk] = study.build_study_pipeline(
+                ckpt, img_size=mk["img_size"], channel_max=mk["channel_max"],
+            )
+        ek = dict(ek)
+        factory = ek.pop("_lpips_factory", None)
+        rec = study.eval_point(
+            pipes[pk],
+            samples=args.samples, steps=args.steps, n_starts=args.n,
+            seed=args.seed, chunk_samples=args.chunk_samples,
+            lpips_params=(factory() if factory is not None else None), **ek,
+        )
+        rec["tag"] = tag
+        rec["train_steps"] = mk["train_steps"]
+        rec["bit_sigma_spearman"] = study.bit_sigma_correlation(rec)
+        rec["wall_s"] = round(time.time() - t0, 1)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        results.append(rec)
+        print(
+            f"[study] {tag}: bit_acc {rec['mean_bit_acc']:.4f} "
+            f"(CI {rec['bit_acc_ci95'][0]:.4f}-{rec['bit_acc_ci95'][1]:.4f}), "
+            f"exact {rec['exact_match_k']}/{rec['samples']} "
+            f"(CI {rec['exact_match_ci95'][0]:.2f}-{rec['exact_match_ci95'][1]:.2f}), "
+            f"band sigma med {rec['band_sigma_median']:.4f}, "
+            f"{rec['wall_s']}s"
+        )
+
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"[study] wrote {os.path.abspath(out)} ({len(results)} points)")
+    return 0
+
+
+def cmd_headline(args) -> int:
+    """Flagship operating points with real statistics (n >= 20)."""
+    specs = []
+    for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
+        mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
+        for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
+            tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}"
+            specs.append((tag, mk, {"key_len": kl, "sigma": sig}))
+    return _run_points(args, specs, "result/study_headline.json")
+
+
+def cmd_robustness(args) -> int:
+    """Attack table at the flagship point (64px, kl=32, sigma=6)."""
+    mk = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
+    specs = [
+        (f"64px_kl32_s6_{atk}", mk, {"key_len": 32, "sigma": 6.0, "attack": atk})
+        for atk in ROBUSTNESS_ATTACKS
+    ]
+    return _run_points(args, specs, "result/study_robustness.json")
+
+
+def cmd_scaling(args) -> int:
+    """key_len=64 accuracy + key-band spectrum vs generator scale."""
+    specs = []
+    for img, cm, ts in SCALING_MODELS:
+        mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
+        for sig in (3.0, 6.0):
+            tag = f"{img}px_cm{cm}_t{ts}_kl64_s{sig:g}"
+            specs.append((tag, mk, {"key_len": 64, "sigma": sig}))
+    return _run_points(args, specs, "result/study_scaling.json")
+
+
+def cmd_perceptual(args) -> int:
+    """Solver-loss A/B at the flagship point: mse vs the in-env
+    perceptual backbones (trained-discriminator features, random-init
+    VGG LPIPS), clean and under the attacks where a perceptual loss
+    should earn its keep.  The reference's solver objective is LPIPS
+    (/root/reference/src/main.py:63); round 2 measured random-VGG LPIPS
+    WORSE than mse, so this table either instates a working perceptual
+    mode (disc features, losses/disc_percept.py) or documents the
+    negative with CIs."""
+    import jax
+
+    from ..eval import study
+    from ..losses.disc_percept import load_disc_percept
+    from ..losses.lpips import init_lpips_params
+
+    mk = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
+    ckpt = study.ensure_trained(
+        img_size=mk["img_size"], channel_max=mk["channel_max"],
+        train_steps=mk["train_steps"], cache_dir=args.cache_dir,
+        need_disc=True,
+    )
+    backbones = {
+        "mse": (("mse",), None),
+        "disc": (("perceptual",), lambda: load_disc_percept(ckpt + ".disc.npz")),
+        "vgg_rand": (("perceptual",), lambda: init_lpips_params(jax.random.PRNGKey(0))),
+    }
+    specs = []
+    for name in ["mse", "disc", "vgg_rand"]:
+        for atk in ["None", "Jpeg", "Noise", "Crop"]:
+            tag = f"64px_kl32_s6_{name}_{atk}"
+            (loss,), mkparams = backbones[name]
+            specs.append(
+                (tag, mk,
+                 {"key_len": 32, "sigma": 6.0, "attack": atk, "loss": loss,
+                  "_lpips_factory": mkparams})
+            )
+    return _run_points(args, specs, "result/study_perceptual.json")
+
+
+def cmd_capacity(args) -> int:
+    """Watermark visibility vs accuracy (FID/LPIPS/MSE), fixed budget."""
+    import jax
+
+    from ..config import AttributionConfig, ModelConfig
+    from ..eval import study
+    from ..eval.sweep import run_sweep, sweep_to_json
+
+    ckpt = study.ensure_trained(
+        img_size=64, channel_max=128, train_steps=3000,
+        cache_dir=args.cache_dir,
+    )
+    mcfg = ModelConfig(img_size=64, channel_max=128, ckpt=ckpt)
+    pts = run_sweep(
+        jax.random.PRNGKey(args.seed),
+        mcfg,
+        key_lens=(32, 64),
+        sigmas=(3.0, 6.0),
+        samples=max(8, args.samples // 2),
+        acfg=AttributionConfig(steps=500, n_starts=8, loss="mse"),
+        ckpt_path=ckpt,
+        with_fid=True,
+        dtype="bfloat16",
+    )
+    out = args.out or "result/study_capacity.json"
+    with open(out, "w") as f:
+        f.write(sweep_to_json(pts))
+    print(f"[study] wrote {os.path.abspath(out)} ({len(pts)} points)")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _parser().parse_args(argv)
+    import jax
+
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.makedirs("result", exist_ok=True)
+    return {
+        "headline": cmd_headline,
+        "robustness": cmd_robustness,
+        "scaling": cmd_scaling,
+        "capacity": cmd_capacity,
+        "perceptual": cmd_perceptual,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Quality-study driver (eval/study.py + cli/study.py).
+
+The study machinery is the one-command reproduction layer for every
+BASELINE.md quality table (statistics with Wilson CIs, per-bit / key-band
+spectrum diagnostics, crash-safe jsonl resume).  Tested here on tiny
+random-init pipelines; the real tables are produced by ``make headline``
+etc. on the TPU.
+"""
+
+import json
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+    study as study_cli,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+    FingerprintConfig, ModelConfig,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.eval import (
+    study,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+    pipeline as pl,
+)
+
+
+def test_wilson_ci_properties():
+    lo, hi = study.wilson_ci(0, 0)
+    assert (lo, hi) == (0.0, 1.0)
+    lo, hi = study.wilson_ci(20, 20)
+    assert hi == 1.0 and 0.8 < lo < 1.0
+    lo, hi = study.wilson_ci(10, 20)
+    assert lo < 0.5 < hi
+    # tighter with more data at the same proportion
+    lo2, hi2 = study.wilson_ci(50, 100)
+    assert (hi2 - lo2) < (hi - lo)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    mcfg = ModelConfig(
+        img_size=16, style_dim=32, n_mlp=2, channel_max=32, ckpt=None
+    )
+    fpcfg = FingerprintConfig(key_len=8, shift=24, n_pca_samples=256)
+    return pl.build_pipeline(
+        jax.random.PRNGKey(0), mcfg, fpcfg, ckpt_path=None, want_lpips=False
+    )
+
+
+def test_eval_point_fields_and_shapes(tiny_pipe):
+    rec = study.eval_point(
+        tiny_pipe, key_len=8, sigma=4.0, samples=4, steps=8, n_starts=2,
+        loss="mse", dtype="float32", seed=3,
+    )
+    assert rec["samples"] == 4 and rec["key_len"] == 8
+    assert 0.0 <= rec["mean_bit_acc"] <= 1.0
+    assert len(rec["per_bit_acc"]) == 8
+    assert len(rec["band_sigma"]) == 8
+    assert len(rec["spectrum_decile_sigmas"]) == 11
+    lo, hi = rec["exact_match_ci95"]
+    assert 0.0 <= lo <= rec["exact_match"] <= hi <= 1.0
+    # the key band is the low-variance end of the spectrum by construction
+    assert rec["band_sigma_median"] <= rec["content_sigma_median"]
+    # chunked solve covers every sample (targets/keys are seed-identical;
+    # restart RNG differs per chunk, so accuracies may differ slightly)
+    rec2 = study.eval_point(
+        tiny_pipe, key_len=8, sigma=4.0, samples=4, steps=8, n_starts=2,
+        loss="mse", dtype="float32", seed=3, chunk_samples=2,
+    )
+    assert rec2["samples"] == 4 and len(rec2["per_bit_acc"]) == 8
+    assert 0.0 <= rec2["mean_bit_acc"] <= 1.0
+
+
+def test_eval_point_attack_runs(tiny_pipe):
+    rec = study.eval_point(
+        tiny_pipe, key_len=8, sigma=4.0, samples=2, steps=4, n_starts=2,
+        loss="mse", dtype="float32", attack="Noise", seed=5,
+    )
+    assert rec["attack"] == "Noise"
+    assert math.isfinite(rec["mean_final_loss"])
+
+
+def test_bit_sigma_correlation_bounds():
+    point = {
+        "per_bit_acc": [0.2, 0.4, 0.6, 0.8],
+        "band_sigma": [0.1, 0.2, 0.3, 0.4],
+    }
+    r = study.bit_sigma_correlation(point)
+    assert r == pytest.approx(1.0)
+    point["band_sigma"] = point["band_sigma"][::-1]
+    assert study.bit_sigma_correlation(point) == pytest.approx(-1.0)
+    point["per_bit_acc"] = [0.5, 0.5, 0.5, 0.5]
+    assert math.isnan(study.bit_sigma_correlation(point))
+
+
+def test_study_cli_resume_skips_done(tmp_path, monkeypatch, capsys):
+    """_run_points must skip tags already in the jsonl (crash resume)."""
+    out = tmp_path / "table.json"
+    jsonl = str(out) + ".jsonl"
+    done_rec = {"tag": "a", "mean_bit_acc": 0.9}
+    with open(jsonl, "w") as f:
+        f.write(json.dumps(done_rec) + "\n")
+
+    args = study_cli._parser().parse_args(["headline", "--out", str(out)])
+    # the only spec's tag is already done -> no training, no pipeline
+    # build (ensure_trained would raise on the bogus model kwargs)
+    rc = study_cli._run_points(
+        args, [("a", {"img_size": 1, "channel_max": 1, "train_steps": 0}, {})],
+        str(out),
+    )
+    assert rc == 0
+    with open(out) as f:
+        table = json.load(f)
+    assert table == [done_rec]
+
+
+def test_study_cli_parser_subcommands():
+    for cmd in ["headline", "robustness", "scaling", "capacity", "perceptual"]:
+        args = study_cli._parser().parse_args([cmd])
+        assert args.cmd == cmd
+        assert args.samples >= 20
