@@ -294,13 +294,15 @@ def _slice1_bwd_kernel(
     # through the a2>0 mask only if the halos were in range; force-zero
     # via _fill_band's edge zeroing on BOTH inputs.
     _fill_band(dz2band, g_ref[0], gh_ref[0, 0], th, w, 64, first, last, 2)
-    # overwrite in place with the masked cotangent (a2 tile + halos)
-    mask_mid = (a2_ref[0] > 0).astype(dz2band.dtype)
+    # overwrite in place with the masked cotangent (a2 tile + halos).
+    # masks compare in f32: Mosaic rejects vector cmpf on packed bf16
+    # ("Target does not support this comparison", v5e)
+    mask_mid = (a2_ref[0].astype(jnp.float32) > 0).astype(dz2band.dtype)
     dz2band[pl.ds(2, th), pl.ds(0, w), :] = dz2band[pl.ds(2, th), pl.ds(0, w), :] * mask_mid
     for i in range(2):
-        mh_top = (a2h_ref[0, 0, i] > 0).astype(dz2band.dtype)
+        mh_top = (a2h_ref[0, 0, i].astype(jnp.float32) > 0).astype(dz2band.dtype)
         dz2band[i, pl.ds(0, w), :] = dz2band[i, pl.ds(0, w), :] * mh_top
-        mh_bot = (a2h_ref[0, 0, 2 + i] > 0).astype(dz2band.dtype)
+        mh_bot = (a2h_ref[0, 0, 2 + i].astype(jnp.float32) > 0).astype(dz2band.dtype)
         dz2band[2 + th + i, pl.ds(0, w), :] = (
             dz2band[2 + th + i, pl.ds(0, w), :] * mh_bot
         )

@@ -480,26 +480,30 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
     ).astype(jnp.bfloat16)
 
     def tfeats(k):
+        # host copies: the target features are ARGUMENTS of the timed
+        # programs, never closure constants --- embedding [16,256,256,64]
+        # arrays as constants overflows the remote-compile request body
+        # (HTTP 413)
         return tuple(
-            lp.normalize_feat(f)
+            np.asarray(lp.normalize_feat(f))
             for f in lp.extract_raw_features(params, img0, n_slices=k)
         )
 
     def make_make(k, with_grad=True):
-        tf = jax.tree.map(jax.lax.stop_gradient, tfeats(k))
+        tf_np = tfeats(k)
 
-        def loss(x):
+        def loss(x, tf):
             raws = lp.extract_raw_features(params, x, n_slices=k)
             return jnp.sum(lp.distance_from_raw_features(params, raws, tf))
 
         def make(n_steps):
-            def run(x):
+            def run(x, tf):
                 def body(xc, i):
                     if with_grad:
-                        g = jax.grad(loss)(xc)
+                        g = jax.grad(loss)(xc, tf)
                         return (xc - jnp.bfloat16(0.01) * g.astype(xc.dtype)), 0.0
                     # fwd only: chain via a scalar-dependent perturbation
-                    v = loss(xc)
+                    v = loss(xc, tf)
                     return xc * (1.0 + 1e-12 * v).astype(xc.dtype), 0.0
 
                 y, _ = jax.lax.scan(body, x, jnp.arange(n_steps))
@@ -507,30 +511,36 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
 
             return jax.jit(run)
 
-        return make, loss
+        return make, loss, tf_np
 
     seed = [400]
 
-    def fresh_args():
-        seed[0] += 1
-        return (
-            jax.random.uniform(
-                jax.random.PRNGKey(seed[0]), (chains, h, h, 3), jnp.float32, -1, 1
-            ).astype(jnp.bfloat16),
-        )
+    def mk_fresh(tf_np):
+        def fresh_args():
+            seed[0] += 1
+            return (
+                jax.random.uniform(
+                    jax.random.PRNGKey(seed[0]), (chains, h, h, 3), jnp.float32, -1, 1
+                ).astype(jnp.bfloat16),
+                jax.tree.map(jnp.asarray, tf_np),
+            )
+
+        return fresh_args
 
     s1, s2 = 4, 16
     peak = _peak_flops(jax)
     per_k = []
     prev_ms, prev_fl = 0.0, 0.0
     for k in range(1, 6):
-        make, loss = make_make(k)
-        dt = _measure_marginal(make, s1, s2, fresh_args)
+        make, loss, tf_np = make_make(k)
+        dt = _measure_marginal(make, s1, s2, mk_fresh(tf_np))
         ms = dt / (s2 - s1) * 1e3  # ms per fwd+bwd pass (all chains)
         fl = None
         try:
             fl = _flops_of(
-                jax.jit(lambda x: jax.grad(loss)(x)).lower(img0).compile()
+                jax.jit(lambda x, tf: jax.grad(loss)(x, tf))
+                .lower(img0, jax.tree.map(jnp.asarray, tf_np))
+                .compile()
             )
         except Exception:
             pass
@@ -557,8 +567,8 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
         prev_ms, prev_fl = ms, (fl or prev_fl)
 
     # fwd-only at k=5 to split forward vs backward
-    make_f, _ = make_make(5, with_grad=False)
-    dt_f = _measure_marginal(make_f, s1, s2, fresh_args)
+    make_f, _, tf5 = make_make(5, with_grad=False)
+    dt_f = _measure_marginal(make_f, s1, s2, mk_fresh(tf5))
     fwd_ms = dt_f / (s2 - s1) * 1e3
 
     return {
@@ -572,11 +582,136 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
     }
 
 
+def bench_reference_cpu(img_size: int = 256, iters: int = 8) -> dict:
+    """Measured anchor for the assumed REF_* baseline constants.
+
+    Times ONE iteration of the reference's own serial attribution loop
+    (/root/reference/src/main.py:57-70: w(alpha, sigmoid(key)) -> G ->
+    LPIPS + 0.1*bound -> backward -> Adam, batch 1) using the reference's
+    actual Generator (imported from /root/reference/src/model.py with the
+    CUDA-extension loader stubbed so its pure-torch CPU fallbacks run,
+    exactly as tests/test_reference_parity.py does) and a
+    torchvision-architecture VGG16 LPIPS head (random weights --- this
+    env has no egress for the pretrained download; timing is
+    weight-value independent).
+
+    This is a CPU-torch number and is labeled as such: it grounds the
+    *shape* of the vs_baseline ratio with a measurement on the only
+    hardware the reference runs on here, alongside the clearly-stated
+    20 it/s single-GPU assumption.
+    """
+    import importlib
+
+    import numpy as np
+    import torch
+    import torch.utils.cpp_extension as cppext
+
+    torch.manual_seed(11)
+    orig_load = cppext.load
+    cppext.load = lambda *a, **k: None
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        ref_model = importlib.import_module("model")
+    finally:
+        cppext.load = orig_load
+        sys.path.remove("/root/reference/src")
+
+    g = ref_model.Generator(img_size, 512, 8, channel_multiplier=2).eval()
+    for p in g.parameters():
+        p.requires_grad_(False)
+
+    # VGG16 feature stack, layer-for-layer the torchvision `.features`
+    # module the reference slices (pretrained_networks.py:121-135) ---
+    # torchvision itself is absent in this env, weights are random, and
+    # neither changes the timing
+    import torch.nn as nn
+
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for item in plan:
+        if item == "M":
+            layers.append(nn.MaxPool2d(2))
+        else:
+            layers += [nn.Conv2d(cin, item, 3, padding=1), nn.ReLU()]
+            cin = item
+    vgg = nn.Sequential(*layers).eval()
+    for p in vgg.parameters():
+        p.requires_grad_(False)
+    # LPIPS tap points after each relu block (ref pretrained_networks.py
+    # vgg16 slices: features[0:4], [4:9], [9:16], [16:23], [23:30])
+    slice_ends = [4, 9, 16, 23, 30]
+    lins = [torch.rand(c) for c in (64, 128, 256, 512, 512)]
+
+    def vgg_feats(x):
+        feats = []
+        h = x
+        prev = 0
+        for end in slice_ends:
+            for i in range(prev, end):
+                h = vgg[i](h)
+            feats.append(h)
+            prev = end
+        return feats
+
+    def lpips(a, b):
+        total = 0.0
+        for fa, fb, lin in zip(vgg_feats(a), vgg_feats(b), lins):
+            na = fa / (fa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = fb / (fb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb).pow(2) * lin.view(1, -1, 1, 1)
+            total = total + d.sum(1).mean()
+        return total
+
+    # basis per src/main.py:30-40 (random stand-in; cost-identical)
+    key_len, shift = 64, 448
+    pc = torch.linalg.qr(torch.randn(512, 512))[0]
+    u_cap, v_cap = pc[:shift], pc[shift : shift + key_len]
+    sigma448 = torch.rand(shift, 1) + 0.5
+    mean = torch.zeros(512)
+    noise = [torch.randn(1, 1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2))
+             for i in range(g.num_layers)]
+
+    target = torch.tanh(torch.randn(1, 3, img_size, img_size))
+
+    alpha = (torch.rand(shift, 1) - 0.5).requires_grad_(True)
+    key = torch.zeros(key_len, 1, requires_grad=True)
+    opt = torch.optim.Adam([alpha, key], lr=0.2)
+
+    def step():
+        opt.zero_grad()
+        w0 = (u_cap.T @ (alpha * sigma448)).squeeze(1) + mean
+        wx = w0 + 2.0 * (v_cap.T @ torch.sigmoid(key)).squeeze(1)
+        img, _ = g([wx.unsqueeze(0)], input_is_latent=True, noise=noise)
+        loss = lpips(target, img) + 0.1 * torch.relu(alpha.abs() - 3).sum()
+        loss.backward()
+        opt.step()
+
+    step()  # warm-up (allocator, conv algo selection)
+    t0 = time.time()
+    for _ in range(iters):
+        step()
+    dt = time.time() - t0
+    it_s = iters / dt
+    return {
+        "metric": f"REFERENCE serial attribution it/s ({img_size}px, CPU torch, "
+                  f"batch 1 --- measured anchor for the assumed GPU baseline)",
+        "value": round(it_s, 3),
+        "unit": "it/s",
+        "vs_baseline": None,
+        "assumed_gpu_it_s": REF_STEPS_PER_SEC_256 if img_size == 256 else REF_STEPS_PER_SEC_1024,
+        "note": "reference Generator (CPU-fallback ops) + torchvision VGG16 "
+                "LPIPS architecture, random weights; serial loop per "
+                "src/main.py:57-70",
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--preset",
-        choices=["default", "1024px", "generate", "biggan", "train", "lpips"],
+        choices=["default", "1024px", "generate", "biggan", "train", "lpips",
+                 "ref_cpu"],
         default="default"
     )
     parser.add_argument(
@@ -608,6 +743,14 @@ def main() -> int:
     parser.add_argument("--gen_size", type=int, default=1024,
                         help="image size for the generate/biggan presets")
     args = parser.parse_args()
+
+    if args.preset == "ref_cpu":
+        # pure CPU-torch path: do not touch jax / the TPU at all
+        out = bench_reference_cpu(
+            256 if args.gen_size == 1024 else args.gen_size
+        )
+        print(json.dumps(out))
+        return 0
 
     global jax, jnp
     import jax
