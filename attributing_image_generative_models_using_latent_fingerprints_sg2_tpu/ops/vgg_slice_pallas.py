@@ -234,6 +234,13 @@ def _tile_h_fused(h: int, w: int, itemsize: int) -> int:
     return _pick_tile(h, max(8, (10 << 20) // max(1, per_row)))
 
 
+# The backward's matmul operand staging exceeds the compiler's default
+# 16M scoped-vmem limit at bench shapes (measured: 24.08M at
+# [16,256,256,*] bf16, th=16); the chip has 128M VMEM, so raise the cap
+# instead of shrinking tiles (smaller tiles = more recomputed halo rows).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _slice1_fwd_call(x, w1, b1, w2, b2, *, relu2=True, tile_h=None):
     n, h, w, _ = x.shape
     th = tile_h or _tile_h_fused(h, w, x.dtype.itemsize)
@@ -257,6 +264,7 @@ def _slice1_fwd_call(x, w1, b1, w2, b2, *, relu2=True, tile_h=None):
             pltpu.VMEM((th + 4, w + _WPAD, 3), x.dtype),
             pltpu.VMEM((th + 2, w + _WPAD, 64), x.dtype),
         ],
+        compiler_params=_COMPILER_PARAMS,
     )(
         x,
         _halo_rows_k(x, th, 2),
@@ -362,6 +370,7 @@ def _slice1_bwd_call(g, a2, x, w1, b1, w2, *, tile_h=None):
             pltpu.VMEM((th + 4, w + _WPAD, 3), x.dtype),
             pltpu.VMEM((th + 2, w + _WPAD, 64), dt),
         ],
+        compiler_params=_COMPILER_PARAMS,
     )(
         g,
         _halo_rows_k(g, th, 2),
