@@ -229,7 +229,13 @@ def cmd_capacity(args) -> int:
 
     ckpt = study.ensure_trained(
         img_size=64, channel_max=128, train_steps=3000,
-        cache_dir=args.cache_dir,
+        cache_dir=args.cache_dir, need_disc=True,
+    )
+    from ..checkpoints.flat import unflatten_params
+    import numpy as np
+
+    disc_params = jax.tree.map(
+        jax.numpy.asarray, unflatten_params(dict(np.load(ckpt + ".disc.npz")))
     )
     mcfg = ModelConfig(img_size=64, channel_max=128, ckpt=ckpt)
     pts = run_sweep(
@@ -242,6 +248,7 @@ def cmd_capacity(args) -> int:
         ckpt_path=ckpt,
         with_fid=True,
         dtype="bfloat16",
+        disc_params=disc_params,
     )
     out = args.out or "result/study_capacity.json"
     with open(out, "w") as f:

@@ -42,6 +42,7 @@ class SweepPoint:
     watermark_mse: float
     mean_latent_cos: float = float("nan")  # recovered-vs-true content latent
     fid: Optional[float] = None
+    fid_disc: Optional[float] = None  # trained-discriminator features
 
 
 def run_sweep(
@@ -57,6 +58,7 @@ def run_sweep(
     with_fid: bool = False,
     dtype: str = "float32",
     lpips_params=None,
+    disc_params=None,
 ) -> List[SweepPoint]:
     acfg = acfg or AttributionConfig(steps=200, n_starts=4, loss="mse")
     k_build, k_run = jax.random.split(key)
@@ -102,6 +104,13 @@ def run_sweep(
             fid_val = None
             if with_fid:
                 fid_val = fid_between(inc_params, imgs_w0, imgs_wx, batch=min(8, samples))
+            fid_disc_val = None
+            if disc_params is not None:
+                from .fid import fid_between_disc
+
+                fid_disc_val = fid_between_disc(
+                    disc_params, imgs_w0, imgs_wx, batch=min(8, samples)
+                )
 
             res = attr.attribute(
                 pipe.gen_params,
@@ -126,6 +135,7 @@ def run_sweep(
                     watermark_mse=wm_mse,
                     mean_latent_cos=float(ev["mean_latent_cos"]),
                     fid=fid_val,
+                    fid_disc=fid_disc_val,
                 )
             )
     return results
