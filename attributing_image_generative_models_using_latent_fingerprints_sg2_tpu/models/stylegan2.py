@@ -392,10 +392,14 @@ def synthesis(
     *,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
     remat: bool = False,
+    max_blocks: Optional[int] = None,
 ) -> jax.Array:
     """W+ -> image. latent: [B, n_latent, style_dim]. Returns [B, H, W, 3].
 
-    Ref synthesis loop src/model.py:551-566.
+    Ref synthesis loop src/model.py:551-566.  ``max_blocks`` truncates
+    the skip pyramid after that many upsample blocks (the running skip
+    IS a valid RGB image at every stage) --- used by the per-resolution
+    generation roofline in bench.py, not by any pipeline.
     """
     n_layers = 1 + 2 * len(params["to_rgbs"])
     if noise is None:
@@ -418,7 +422,10 @@ def synthesis(
         block = jax.checkpoint(block, static_argnums=())
 
     i = 1
-    for idx in range(len(params["to_rgbs"])):
+    n_blocks = len(params["to_rgbs"])
+    if max_blocks is not None:
+        n_blocks = max(0, min(n_blocks, max_blocks))
+    for idx in range(n_blocks):
         out, skip = block(
             out,
             skip,

@@ -586,6 +586,134 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
     }
 
 
+def bench_gen_roofline(img_size: int = 1024, batch: int = 8) -> dict:
+    """Per-resolution-block decomposition of fingerprinted generation.
+
+    The 1024px generation preset sits at MFU 0.16 (BASELINE.md) with no
+    segment breakdown.  This measures, for k = 0..n_blocks upsample
+    blocks of the SAME 1024px model (synthesis truncated via
+    ``max_blocks`` --- the running skip is a valid RGB image at each
+    stage), the marginal cost of one batch; successive differences give
+    each resolution block's cost.  Each block also gets XLA-counted
+    FLOPs, its achieved TF/s, and a minimum-HBM-traffic floor (inputs +
+    outputs + skip, bf16, ignoring all intermediates) against the v5e's
+    ~819 GB/s --- so the table shows directly whether a block sits on
+    the compute roof, the bandwidth floor, or neither.
+    """
+    import numpy as np
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        FingerprintConfig,
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as pl,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.embed import (
+        embed,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models import (
+        stylegan2 as sg2,
+    )
+
+    HBM_GBPS = 819e9  # v5e
+    mcfg = ModelConfig(img_size=img_size)
+    fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    nl = sg2.n_latent(mcfg.img_size)
+    d = pipe.basis.u_cap.shape[1]
+    n_blocks = len(pipe.gen_params["to_rgbs"])
+
+    def synth(rng, k):
+        alpha = jax.random.normal(rng, (batch, d - fpcfg.key_len))
+        bits = jnp.asarray(
+            jax.random.bernoulli(jax.random.fold_in(rng, 1), 0.5,
+                                 (batch, fpcfg.key_len)), jnp.float32)
+        _, wx = embed(pipe.basis, alpha, bits)
+        wplus = jnp.repeat(wx[:, None, :], nl, axis=1).astype(jnp.bfloat16)
+        return sg2.synthesis(pipe.gen_params, wplus, pipe.noise,
+                             blur_kernel=mcfg.blur_kernel, max_blocks=k)
+
+    def make_make(k):
+        def make(n_batches):
+            def run(rng):
+                def body(carry, i):
+                    imgs = synth(jax.random.fold_in(rng, i), k)
+                    return carry + jnp.mean(imgs.astype(jnp.float32)), 0.0
+
+                acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_batches))
+                return acc
+
+            return jax.jit(run)
+
+        return make
+
+    seed = [300]
+
+    def fresh_args():
+        seed[0] += 1
+        return (jax.random.PRNGKey(seed[0]),)
+
+    blocks = []
+    prev_ms, prev_fl = 0.0, 0.0
+    for k in range(n_blocks + 1):
+        res = 4 * (2 ** k)
+        n1, n2 = (2, 6) if res >= 512 else (4, 24)
+        dt = _measure_marginal(make_make(k), n1, n2, fresh_args)
+        ms = dt / (n2 - n1) * 1e3
+        fl = None
+        try:
+            fl = _flops_of(
+                jax.jit(lambda r, kk=k: synth(r, kk))
+                .lower(jax.random.PRNGKey(0)).compile()
+            )
+        except Exception:
+            pass
+        if k == 0:
+            prev_ms, prev_fl = ms, (fl or 0.0)
+            continue
+        # min HBM traffic of block k (bf16): read in-feature, write
+        # out-feature twice (up-conv out + conv2 out), write + read skip
+        cmap = sg2.channel_map(mcfg.channel_multiplier, mcfg.channel_max)
+        cin = cmap[res // 2]
+        cout = cmap[res]
+        bytes_min = 2 * batch * (
+            (res // 2) ** 2 * cin + 2 * res ** 2 * cout + 2 * res ** 2 * 3
+        )
+        inc_ms = ms - prev_ms
+        inc_fl = (fl - prev_fl) if fl else None
+        blocks.append(
+            {
+                "res": res,
+                "block_ms": round(inc_ms, 3),
+                "block_gflop": round(inc_fl / 1e9, 1) if inc_fl else None,
+                "tflops": (
+                    round(inc_fl / (inc_ms * 1e-3) / 1e12, 1)
+                    if (inc_fl and inc_ms > 0)
+                    else None
+                ),
+                "mfu": (
+                    round(inc_fl / (inc_ms * 1e-3) / TPU_V5E_BF16_PEAK, 3)
+                    if (inc_fl and inc_ms > 0)
+                    else None
+                ),
+                "min_traffic_mb": round(bytes_min / 1e6, 1),
+                "bw_floor_ms": round(bytes_min / HBM_GBPS * 1e3, 3),
+            }
+        )
+        prev_ms, prev_fl = ms, (fl or prev_fl)
+
+    total_ms = prev_ms
+    return {
+        "metric": f"generation per-resolution-block decomposition ({img_size}px, batch {batch}, bf16)",
+        "value": round(batch / (total_ms * 1e-3), 1),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+        "total_ms_per_batch": round(total_ms, 3),
+        "blocks": blocks,
+    }
+
+
 def bench_reference_cpu(img_size: int = 256, iters: int = 8) -> dict:
     """Measured anchor for the assumed REF_* baseline constants.
 
@@ -715,7 +843,7 @@ def main() -> int:
     parser.add_argument(
         "--preset",
         choices=["default", "1024px", "generate", "biggan", "train", "lpips",
-                 "ref_cpu"],
+                 "ref_cpu", "gen_roofline"],
         default="default"
     )
     parser.add_argument(
@@ -797,7 +925,9 @@ def main() -> int:
     last_err: Exception | None = None
     for attempt in range(RETRIES):
         try:
-            if args.preset == "lpips":
+            if args.preset == "gen_roofline":
+                out = bench_gen_roofline(args.gen_size)
+            elif args.preset == "lpips":
                 out = bench_lpips_roofline(
                     256 if args.gen_size == 1024 else args.gen_size
                 )

@@ -123,3 +123,27 @@ def test_study_cli_parser_subcommands():
         args = study_cli._parser().parse_args([cmd])
         assert args.cmd == cmd
         assert args.samples >= 20
+
+
+def test_synthesis_max_blocks(tiny_pipe):
+    """max_blocks truncation (gen roofline support): full == default;
+    k=0 stops at the 4px base."""
+    import jax.numpy as jnp
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models import (
+        stylegan2 as sg2,
+    )
+
+    mcfg = tiny_pipe.mcfg
+    nl = sg2.n_latent(mcfg.img_size)
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, nl, mcfg.style_dim))
+    full = sg2.synthesis(tiny_pipe.gen_params, w, tiny_pipe.noise)
+    n_blocks = len(tiny_pipe.gen_params["to_rgbs"])
+    same = sg2.synthesis(
+        tiny_pipe.gen_params, w, tiny_pipe.noise, max_blocks=n_blocks
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(same))
+    base = sg2.synthesis(tiny_pipe.gen_params, w, tiny_pipe.noise, max_blocks=0)
+    assert base.shape == (2, 4, 4, 3)
+    mid = sg2.synthesis(tiny_pipe.gen_params, w, tiny_pipe.noise, max_blocks=1)
+    assert mid.shape == (2, 8, 8, 3)
