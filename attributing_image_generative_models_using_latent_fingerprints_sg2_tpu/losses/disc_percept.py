@@ -44,7 +44,12 @@ def disc_features(
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
 ) -> List[jax.Array]:
     """[-1,1] NHWC image -> list of discriminator feature maps
-    (from_rgb + each res_block output, ref src/model.py:641-699)."""
+    (from_rgb + each res_block output, ref src/model.py:641-699).
+
+    Weights follow the image dtype (the bf16 solver hot path feeds bf16
+    images; the exported discriminator is f32)."""
+    if x.dtype != jax.tree_util.tree_leaves(d_params)[0].dtype:
+        d_params = jax.tree.map(lambda t: t.astype(x.dtype), d_params)
     out = sg2.conv_layer(x, d_params["from_rgb"])
     feats = [out]
     for rb in d_params["blocks"]:
