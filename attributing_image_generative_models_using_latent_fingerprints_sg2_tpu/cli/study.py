@@ -188,10 +188,16 @@ def cmd_perceptual(args) -> int:
     (/root/reference/src/main.py:63); round 2 measured random-VGG LPIPS
     WORSE than mse, so this table either instates a working perceptual
     mode (disc features, losses/disc_percept.py) or documents the
-    negative with CIs."""
+    negative with CIs.
+
+    The ``*_cal`` variants additionally fit the lin heads with the
+    reference's own 2AFC machinery (losses/lpips_train.py) on
+    graded-distortion triplets (losses/calibrate.py) --- the in-env
+    stand-in for the human-judgement data the reference trained on."""
     import jax
 
     from ..eval import study
+    from ..losses.calibrate import calibrate_lin_heads, rank_accuracy
     from ..losses.disc_percept import load_disc_percept
     from ..losses.lpips import init_lpips_params
 
@@ -201,13 +207,31 @@ def cmd_perceptual(args) -> int:
         train_steps=mk["train_steps"], cache_dir=args.cache_dir,
         need_disc=True,
     )
+
+    def _calibrated(make_base, seed):
+        def factory():
+            base = make_base()
+            r0 = rank_accuracy(base, size=mk["img_size"])
+            fitted = calibrate_lin_heads(
+                base, key=jax.random.PRNGKey(seed), size=mk["img_size"]
+            )
+            r1 = rank_accuracy(fitted, size=mk["img_size"])
+            print(f"[study] 2AFC calibration: rank acc {r0:.3f} -> {r1:.3f}")
+            return fitted
+
+        return factory
+
     backbones = {
         "mse": (("mse",), None),
         "disc": (("perceptual",), lambda: load_disc_percept(ckpt + ".disc.npz")),
         "vgg_rand": (("perceptual",), lambda: init_lpips_params(jax.random.PRNGKey(0))),
+        "disc_cal": (("perceptual",),
+                     _calibrated(lambda: load_disc_percept(ckpt + ".disc.npz"), 11)),
+        "vgg_cal": (("perceptual",),
+                    _calibrated(lambda: init_lpips_params(jax.random.PRNGKey(0)), 12)),
     }
     specs = []
-    for name in ["mse", "disc", "vgg_rand"]:
+    for name in ["mse", "disc", "vgg_rand", "disc_cal", "vgg_cal"]:
         for atk in ["None", "Jpeg", "Noise", "Crop"]:
             tag = f"64px_kl32_s6_{name}_{atk}"
             (loss,), mkparams = backbones[name]
