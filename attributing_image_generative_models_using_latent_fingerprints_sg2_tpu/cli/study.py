@@ -67,8 +67,11 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--n", type=int, default=20)
     p.add_argument("--seed", type=int, default=100)
-    p.add_argument("--chunk_samples", type=int, default=10,
-                   help="solve in chunks of this many samples (memory bound)")
+    p.add_argument("--chunk_samples", type=int, default=0,
+                   help="solve in chunks of this many samples (memory bound); "
+                        "0 = auto by image size (10 @64px, 5 @128px, 2 @>=256px "
+                        "-- 200 chains/chunk at 128px hard-crashes the v5e "
+                        "worker; 100 is the proven envelope)")
     p.add_argument("--only", type=str, default="",
                    help="substring filter on the point tag (subset runs)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
@@ -120,10 +123,13 @@ def _run_points(args, point_specs, out_default: str) -> int:
             )
         ek = dict(ek)
         factory = ek.pop("_lpips_factory", None)
+        chunk = args.chunk_samples or (
+            10 if mk["img_size"] <= 64 else (5 if mk["img_size"] <= 128 else 2)
+        )
         rec = study.eval_point(
             pipes[pk],
             samples=args.samples, steps=args.steps, n_starts=args.n,
-            seed=args.seed, chunk_samples=args.chunk_samples,
+            seed=args.seed, chunk_samples=chunk,
             lpips_params=(factory() if factory is not None else None), **ek,
         )
         rec["tag"] = tag

@@ -456,7 +456,7 @@ def bench_train(img_size: int = 64) -> dict:
     }
 
 
-def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
+def bench_lpips_roofline(img_size: int = 256, chains: int = None) -> dict:
     """Per-slice cost decomposition of the LPIPS segment.
 
     Measures, for k = 1..5, the marginal cost of one fwd+bwd pass through
@@ -473,6 +473,9 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = 16) -> dict:
         lpips as lp,
     )
 
+    if chains is None:
+        # memory scaling: the bwd pass holds the full activation stack
+        chains = 16 if img_size <= 256 else (4 if img_size <= 512 else 2)
     params = lp.init_lpips_params(jax.random.PRNGKey(1))
     h = img_size
     img0 = jax.random.uniform(
@@ -872,15 +875,15 @@ def main() -> int:
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     parser.add_argument("--blur_one_pass", action="store_true",
                         help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
-    parser.add_argument("--gen_size", type=int, default=1024,
-                        help="image size for the generate/biggan presets")
+    parser.add_argument("--gen_size", type=int, default=None,
+                        help="image size override (per-preset default when unset: "
+                             "generate/gen_roofline 1024, lpips/ref_cpu/biggan 256, "
+                             "train 64)")
     args = parser.parse_args()
 
     if args.preset == "ref_cpu":
         # pure CPU-torch path: do not touch jax / the TPU at all
-        out = bench_reference_cpu(
-            256 if args.gen_size == 1024 else args.gen_size
-        )
+        out = bench_reference_cpu(args.gen_size or 256)
         print(json.dumps(out))
         return 0
 
@@ -926,18 +929,15 @@ def main() -> int:
     for attempt in range(RETRIES):
         try:
             if args.preset == "gen_roofline":
-                out = bench_gen_roofline(args.gen_size)
+                out = bench_gen_roofline(args.gen_size or 1024)
             elif args.preset == "lpips":
-                out = bench_lpips_roofline(
-                    256 if args.gen_size == 1024 else args.gen_size
-                )
+                out = bench_lpips_roofline(args.gen_size or 256)
             elif args.preset == "generate":
-                out = bench_generate(args.gen_size)
+                out = bench_generate(args.gen_size or 1024)
             elif args.preset == "biggan":
-                out = bench_biggan(min(args.gen_size, 256))
+                out = bench_biggan(min(args.gen_size or 256, 256))
             elif args.preset == "train":
-                # --gen_size reuses its default (1024) as "unset" -> 64px
-                out = bench_train(64 if args.gen_size == 1024 else min(args.gen_size, 128))
+                out = bench_train(64 if args.gen_size is None else min(args.gen_size, 128))
             elif args.preset == "1024px":
                 out = bench_attribution(
                     1024, args.samples, args.n_starts, args.loss, args.remat_lpips)
