@@ -3,7 +3,7 @@
 PY ?= python
 
 .PHONY: all native test test-fast bench dryrun parity quality_selftrain \
-        headline robustness scaling capacity perceptual clean
+        headline robustness scaling capacity perceptual polish clean
 
 all: native
 
@@ -70,6 +70,9 @@ capacity:
 
 perceptual:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study perceptual
+
+polish:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study polish
 
 clean:
 	$(MAKE) -C native clean

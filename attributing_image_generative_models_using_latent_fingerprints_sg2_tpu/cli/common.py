@@ -71,6 +71,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="initial coarse-to-fine blur sigma (pixels)")
     p.add_argument("--ctf_frac", type=float, default=0.5,
                    help="fraction of steps over which the blur anneals to 0")
+    p.add_argument("--polish_sweeps", type=int, default=0,
+                   help="after the continuous solve, this many greedy "
+                   "bit-flip sweeps over the key against the exact "
+                   "reconstruction loss (0 = off, reference behavior)")
     p.add_argument("--dtype", type=str, default="float32", help="float32 | bfloat16")
     p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
     p.add_argument("--mesh_data", type=int, default=0,
@@ -133,6 +137,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             coarse_to_fine=getattr(args, "coarse_to_fine", False),
             ctf_sigma0=getattr(args, "ctf_sigma0", 2.0),
             ctf_frac=getattr(args, "ctf_frac", 0.5),
+            polish_sweeps=getattr(args, "polish_sweeps", 0),
         ),
         attack=AttackConfig(
             augmentation=args.augmentation,

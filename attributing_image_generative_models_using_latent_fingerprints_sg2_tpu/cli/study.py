@@ -59,7 +59,7 @@ ROBUSTNESS_ATTACKS = ["None", "Blur", "Noise", "Jpeg", "Combination", "Crop"]
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", choices=["headline", "robustness", "scaling",
-                                   "capacity", "perceptual"])
+                                   "capacity", "perceptual", "polish"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -249,6 +249,24 @@ def cmd_perceptual(args) -> int:
     return _run_points(args, specs, "result/study_perceptual.json")
 
 
+def cmd_polish(args) -> int:
+    """Discrete bit-polish A/B (attribute.polish_key_bits wired through
+    AttributionConfig.polish_sweeps): the headline operating points
+    re-solved with 2 greedy bit-flip sweeps after the continuous solve.
+    Compare row-for-row against study_headline.json (same seeds, same
+    solver budget; the continuous trajectory is shared, so any delta is
+    the polish)."""
+    specs = []
+    for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
+        mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
+        for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
+            tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_polish2"
+            specs.append(
+                (tag, mk, {"key_len": kl, "sigma": sig, "polish_sweeps": 2})
+            )
+    return _run_points(args, specs, "result/study_polish.json")
+
+
 def cmd_capacity(args) -> int:
     """Watermark visibility vs accuracy (FID/LPIPS/MSE), fixed budget."""
     import jax
@@ -301,6 +319,7 @@ def main(argv=None) -> int:
         "scaling": cmd_scaling,
         "capacity": cmd_capacity,
         "perceptual": cmd_perceptual,
+        "polish": cmd_polish,
     }[args.cmd](args)
 
 

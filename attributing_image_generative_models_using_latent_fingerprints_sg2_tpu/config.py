@@ -86,6 +86,14 @@ class AttributionConfig:
     coarse_to_fine: bool = False
     ctf_sigma0: float = 2.0  # initial blur sigma (pixels)
     ctf_frac: float = 0.5  # fraction of steps over which blur anneals to 0
+    # Discrete key refinement (beyond-parity): after the continuous
+    # solve, greedily flip key bits one at a time against the exact
+    # reconstruction loss (alpha fixed), polish_sweeps passes over all
+    # bits.  Failed attributions are optimization failures, not capacity
+    # limits (BASELINE.md finding 1), and a sign flip in one key
+    # coordinate is exactly the move Adam cannot make late in the
+    # schedule.  0 = off (reference behavior).
+    polish_sweeps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,6 +99,7 @@ def eval_point(
     dtype: str = "bfloat16",
     chunk_samples: int = 0,
     chunk_starts: int = 0,
+    polish_sweeps: int = 0,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
     report accuracy WITH confidence intervals and per-bit diagnostics."""
@@ -107,7 +108,9 @@ def eval_point(
         shift = d - key_len
     fp = FingerprintConfig(key_len=key_len, shift=shift, sigma=sigma)
     basis = fpe.build_basis(pipe.pca, fp)
-    acfg = AttributionConfig(steps=steps, n_starts=n_starts, loss=loss)
+    acfg = AttributionConfig(
+        steps=steps, n_starts=n_starts, loss=loss, polish_sweeps=polish_sweeps
+    )
 
     rng = jax.random.fold_in(
         jax.random.PRNGKey(seed), hash((key_len, shift, int(sigma * 16))) % (1 << 30)
