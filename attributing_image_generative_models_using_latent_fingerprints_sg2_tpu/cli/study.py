@@ -69,9 +69,10 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--chunk_samples", type=int, default=0,
                    help="solve in chunks of this many samples (memory bound); "
-                        "0 = auto by image size (10 @64px, 5 @128px, 2 @>=256px "
-                        "-- 200 chains/chunk at 128px hard-crashes the v5e "
-                        "worker; 100 is the proven envelope)")
+                        "0 = auto by image size AND width (measured v5e "
+                        "worker-crash envelope: 200 chains OK @64px/cm128, "
+                        "100 OK @128px/cm128 but crashes @128px/cm256; "
+                        "40 OK @128px/cm256)")
     p.add_argument("--only", type=str, default="",
                    help="substring filter on the point tag (subset runs)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
@@ -123,8 +124,9 @@ def _run_points(args, point_specs, out_default: str) -> int:
             )
         ek = dict(ek)
         factory = ek.pop("_lpips_factory", None)
+        small = mk["img_size"] <= 128 and mk["channel_max"] <= 128
         chunk = args.chunk_samples or (
-            10 if mk["img_size"] <= 64 else (5 if mk["img_size"] <= 128 else 2)
+            10 if mk["img_size"] <= 64 else (5 if small else 2)
         )
         rec = study.eval_point(
             pipes[pk],
