@@ -50,7 +50,10 @@ SCALING_MODELS = [
     (128, 256, 10000),
     (128, 256, 30000),
     (256, 256, 10000),
-    (256, 512, 30000),
+    # 512-wide @256px trains at ~1-3 steps/s on one v5e chip; 10k steps
+    # bounds the cell at ~1h (and t30000 is measured to HURT at 128px,
+    # so the long-train cell carries no information worth 5+ hours).
+    (256, 512, 10000),
 ]
 
 ROBUSTNESS_ATTACKS = ["None", "Blur", "Noise", "Jpeg", "Combination", "Crop"]
