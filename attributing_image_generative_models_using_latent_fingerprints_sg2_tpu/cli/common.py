@@ -75,6 +75,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="after the continuous solve, this many greedy "
                    "bit-flip sweeps over the key against the exact "
                    "reconstruction loss (0 = off, reference behavior)")
+    p.add_argument("--polish_margin", type=float, default=0.05,
+                   help="relative loss improvement a bit flip must clear "
+                   "to be accepted (guards against noise-floor flips)")
     p.add_argument("--dtype", type=str, default="float32", help="float32 | bfloat16")
     p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
     p.add_argument("--mesh_data", type=int, default=0,
@@ -138,6 +141,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             ctf_sigma0=getattr(args, "ctf_sigma0", 2.0),
             ctf_frac=getattr(args, "ctf_frac", 0.5),
             polish_sweeps=getattr(args, "polish_sweeps", 0),
+            polish_margin=getattr(args, "polish_margin", 0.05),
         ),
         attack=AttackConfig(
             augmentation=args.augmentation,

@@ -260,14 +260,27 @@ def cmd_polish(args) -> int:
     re-solved with 2 greedy bit-flip sweeps after the continuous solve.
     Compare row-for-row against study_headline.json (same seeds, same
     solver budget; the continuous trajectory is shared, so any delta is
-    the polish)."""
+    the polish).
+
+    The ``_polish2`` rows run margin 0 (accept any loss improvement) ---
+    measured HARMFUL: loss deltas on key-insensitive bits sit at the
+    bf16 noise floor, so margin-0 descent overwrites Adam's weakly
+    correct decisions.  The ``_polish2_m5`` rows demand a 5% relative
+    improvement per flip."""
     specs = []
     for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
         mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
         for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
             tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_polish2"
             specs.append(
-                (tag, mk, {"key_len": kl, "sigma": sig, "polish_sweeps": 2})
+                (tag, mk,
+                 {"key_len": kl, "sigma": sig, "polish_sweeps": 2,
+                  "polish_margin": 0.0})
+            )
+            specs.append(
+                (tag + "_m5", mk,
+                 {"key_len": kl, "sigma": sig, "polish_sweeps": 2,
+                  "polish_margin": 0.05})
             )
     return _run_points(args, specs, "result/study_polish.json")
 

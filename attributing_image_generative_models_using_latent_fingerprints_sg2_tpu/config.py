@@ -94,6 +94,12 @@ class AttributionConfig:
     # coordinate is exactly the move Adam cannot make late in the
     # schedule.  0 = off (reference behavior).
     polish_sweeps: int = 0
+    # Accept a flip only if it improves the loss by this RELATIVE margin.
+    # Measured (BASELINE.md round 3): margin 0 accepts bf16-noise-level
+    # "improvements" on key-insensitive bits and DESTROYS Adam's weakly
+    # correct decisions (flagship exact-match 12/20 -> 2/20); a few
+    # percent keeps polish strictly evidence-driven.
+    polish_margin: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,6 +100,7 @@ def eval_point(
     chunk_samples: int = 0,
     chunk_starts: int = 0,
     polish_sweeps: int = 0,
+    polish_margin: float = 0.05,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
     report accuracy WITH confidence intervals and per-bit diagnostics."""
@@ -109,7 +110,8 @@ def eval_point(
     fp = FingerprintConfig(key_len=key_len, shift=shift, sigma=sigma)
     basis = fpe.build_basis(pipe.pca, fp)
     acfg = AttributionConfig(
-        steps=steps, n_starts=n_starts, loss=loss, polish_sweeps=polish_sweeps
+        steps=steps, n_starts=n_starts, loss=loss,
+        polish_sweeps=polish_sweeps, polish_margin=polish_margin,
     )
 
     rng = jax.random.fold_in(

@@ -200,7 +200,7 @@ def make_attribution_step(
     return step
 
 
-def _polish_loop(per_elem, alpha, bits, sweeps):
+def _polish_loop(per_elem, alpha, bits, sweeps, margin=0.05):
     """Greedy coordinate descent over key bits at fixed alpha.
 
     Discrete refinement (beyond-parity): failed attributions are
@@ -223,7 +223,10 @@ def _polish_loop(per_elem, alpha, bits, sweeps):
         b, cur = carry
         flipped = b.at[:, j].set(1.0 - b[:, j])
         lf = loss_bits(flipped)
-        better = lf < cur
+        # margin: a flip must beat the incumbent by a relative margin --
+        # loss deltas on key-insensitive bits sit at the bf16 noise floor,
+        # and accepting them overwrites Adam's weakly-correct decisions
+        better = lf < cur * (1.0 - margin)
         b = jnp.where(better[:, None], flipped, b)
         cur = jnp.where(better, lf, cur)
         return (b, cur), None
@@ -271,7 +274,7 @@ def polish_key_bits(
         biggan_cfg=biggan_cfg, class_onehot=class_onehot,
         truncation=truncation, return_loss_fn=True,
     )
-    return _polish_loop(per_elem, alpha, bits, sweeps)
+    return _polish_loop(per_elem, alpha, bits, sweeps, margin=acfg.polish_margin)
 
 
 @partial(
@@ -362,7 +365,10 @@ def attribute(
     loss_best = jnp.min(final_per, axis=1)
 
     if acfg.polish_sweeps > 0:
-        bits, loss_best = _polish_loop(per_elem, alpha_best, bits, acfg.polish_sweeps)
+        bits, loss_best = _polish_loop(
+            per_elem, alpha_best, bits, acfg.polish_sweeps,
+            margin=acfg.polish_margin,
+        )
 
     return AttributionResult(
         alpha=alpha_best,
