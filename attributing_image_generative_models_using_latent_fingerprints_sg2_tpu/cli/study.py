@@ -262,23 +262,20 @@ def cmd_polish(args) -> int:
     solver budget; the continuous trajectory is shared, so any delta is
     the polish).
 
-    The ``_polish2`` rows run margin 0 (accept any loss improvement) ---
-    measured HARMFUL: loss deltas on key-insensitive bits sit at the
-    bf16 noise floor, so margin-0 descent overwrites Adam's weakly
-    correct decisions.  The ``_polish2_m5`` rows demand a 5% relative
-    improvement per flip."""
+    Historical rows in the jsonl record the measured dead ends that
+    shaped the current design (see _polish_loop's docstring): the
+    ``_polish2`` rows hard-rounded the converged soft bits before
+    descending (raises the loss ~30x, destroys correct keys) and the
+    ``_polish2_m5`` rows added an accept margin on top (still worse
+    than no polish).  The live ``_soft`` rows descend over logit SIGNS
+    from the converged soft state with a 5% accept margin."""
     specs = []
     for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
         mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
         for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
-            tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_polish2"
+            tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_polish2_soft"
             specs.append(
                 (tag, mk,
-                 {"key_len": kl, "sigma": sig, "polish_sweeps": 2,
-                  "polish_margin": 0.0})
-            )
-            specs.append(
-                (tag + "_m5", mk,
                  {"key_len": kl, "sigma": sig, "polish_sweeps": 2,
                   "polish_margin": 0.05})
             )

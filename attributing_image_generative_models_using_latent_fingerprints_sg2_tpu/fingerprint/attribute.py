@@ -200,40 +200,44 @@ def make_attribution_step(
     return step
 
 
-def _polish_loop(per_elem, alpha, bits, sweeps, margin=0.05):
-    """Greedy coordinate descent over key bits at fixed alpha.
+def _polish_loop(per_elem, alpha, key_logits, sweeps, margin=0.05):
+    """Greedy coordinate descent over key-logit SIGNS at fixed alpha.
 
     Discrete refinement (beyond-parity): failed attributions are
     optimization failures, not capacity limits (BASELINE.md finding 1),
     and a sign flip in one key coordinate is exactly the move Adam
-    cannot make late in the decayed-LR schedule.  Reuses the solver
-    objective by saturating the logits (sigmoid(+-40) == 1.0/0.0 in
-    f32), so mse/perceptual/bound all apply unchanged.  Monotone by
-    construction; cost = sweeps * key_len forwards of batch S (vs
-    steps * n forwards of batch S*n for the continuous solve).  The
-    returned loss is the exact hard-bit objective (the continuous
-    solver reports it at sigmoid(logits) instead)."""
-    big = 40.0
+    cannot make late in the decayed-LR schedule.
 
-    def loss_bits(b):  # [S, K] -> [S]
-        op = {"alpha": alpha[:, None], "key": ((b * 2.0 - 1.0) * big)[:, None]}
+    Works in the solver's own soft space: a candidate flip NEGATES one
+    logit (sigmoid(-l) = 1 - sigmoid(l), i.e. the decoded bit mirrors
+    while its confidence is preserved), so the search starts exactly at
+    the converged loss.  Hard-rounding first was measured to RAISE the
+    loss ~30x (the solver converges to soft values whose rounding
+    decodes correctly but sits off the fitted latent) and greedy descent
+    from that degraded point destroys correct keys (BASELINE.md round-3
+    polish A/B).  A flip is accepted only when it beats the incumbent
+    loss by a relative ``margin`` -- loss deltas on key-insensitive bits
+    sit at the bf16 noise floor.  Monotone by construction; cost =
+    sweeps * key_len forwards of batch S."""
+
+    def loss_of(logits):  # [S, K] -> [S]
+        op = {"alpha": alpha[:, None], "key": logits[:, None]}
         return per_elem(op)[:, 0]
 
     def flip_body(carry, j):
-        b, cur = carry
-        flipped = b.at[:, j].set(1.0 - b[:, j])
-        lf = loss_bits(flipped)
-        # margin: a flip must beat the incumbent by a relative margin --
-        # loss deltas on key-insensitive bits sit at the bf16 noise floor,
-        # and accepting them overwrites Adam's weakly-correct decisions
+        l, cur = carry
+        flipped = l.at[:, j].set(-l[:, j])
+        lf = loss_of(flipped)
         better = lf < cur * (1.0 - margin)
-        b = jnp.where(better[:, None], flipped, b)
+        l = jnp.where(better[:, None], flipped, l)
         cur = jnp.where(better, lf, cur)
-        return (b, cur), None
+        return (l, cur), None
 
-    order = jnp.tile(jnp.arange(bits.shape[1]), sweeps)
-    (bits, loss), _ = jax.lax.scan(flip_body, (bits, loss_bits(bits)), order)
-    return bits, loss
+    order = jnp.tile(jnp.arange(key_logits.shape[1]), sweeps)
+    (key_logits, loss), _ = jax.lax.scan(
+        flip_body, (key_logits, loss_of(key_logits)), order
+    )
+    return key_logits, loss
 
 
 @partial(
@@ -247,7 +251,7 @@ def polish_key_bits(
     noise,
     targets: jax.Array,  # [S, H, W, 3]
     alpha: jax.Array,  # [S, D-K] fixed content coefficients
-    bits: jax.Array,  # [S, K] in {0, 1}
+    key_logits: jax.Array,  # [S, K] logits (pass (2b-1)*scale for hard bits)
     *,
     mcfg: ModelConfig,
     acfg: AttributionConfig,
@@ -259,7 +263,8 @@ def polish_key_bits(
 ):
     """Standalone discrete key refinement (see _polish_loop): polish an
     existing attribution (e.g. a resumed/stored result) against its
-    targets.  Returns (bits, hard-bit loss)."""
+    targets.  Returns (key_logits, loss); decode with
+    ``round(sigmoid(key_logits))``."""
     cdtype = jnp.dtype(dtype)
     if acfg.loss == "perceptual":
         tf = lpips_mod.extract_features(lpips_params, targets.astype(cdtype))
@@ -274,7 +279,9 @@ def polish_key_bits(
         biggan_cfg=biggan_cfg, class_onehot=class_onehot,
         truncation=truncation, return_loss_fn=True,
     )
-    return _polish_loop(per_elem, alpha, bits, sweeps, margin=acfg.polish_margin)
+    return _polish_loop(
+        per_elem, alpha, key_logits, sweeps, margin=acfg.polish_margin
+    )
 
 
 @partial(
@@ -365,10 +372,11 @@ def attribute(
     loss_best = jnp.min(final_per, axis=1)
 
     if acfg.polish_sweeps > 0:
-        bits, loss_best = _polish_loop(
-            per_elem, alpha_best, bits, acfg.polish_sweeps,
+        key_best, loss_best = _polish_loop(
+            per_elem, alpha_best, key_best, acfg.polish_sweeps,
             margin=acfg.polish_margin,
         )
+        bits = jnp.round(jax.nn.sigmoid(key_best))
 
     return AttributionResult(
         alpha=alpha_best,

@@ -267,12 +267,14 @@ def test_polish_recovers_flipped_bits(pipe):
     corrupted = np.asarray(bits).copy()
     corrupted[:, 1] = 1.0 - corrupted[:, 1]
     corrupted[:, 5] = 1.0 - corrupted[:, 5]
+    logits = jnp.asarray((corrupted * 2.0 - 1.0) * 4.0)  # confident wrong bits
     acfg = AttributionConfig(loss="mse")
     polished, loss = attr.polish_key_bits(
         pipe.gen_params, None, pipe.basis, pipe.noise, imgs,
-        alpha, jnp.asarray(corrupted), mcfg=MCFG, acfg=acfg, sweeps=2,
+        alpha, logits, mcfg=MCFG, acfg=acfg, sweeps=2,
     )
-    np.testing.assert_array_equal(np.asarray(polished), np.asarray(bits))
+    decoded = np.round(1.0 / (1.0 + np.exp(-np.asarray(polished))))
+    np.testing.assert_array_equal(decoded, np.asarray(bits))
     assert np.asarray(loss).max() < 5e-3
 
 
