@@ -3,7 +3,7 @@
 PY ?= python
 
 .PHONY: all native test test-fast bench dryrun parity quality_selftrain \
-        headline robustness scaling capacity perceptual polish clean
+        headline robustness scaling capacity perceptual polish attackaware clean
 
 all: native
 
@@ -73,6 +73,9 @@ perceptual:
 
 polish:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study polish
+
+attackaware:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study attackaware
 
 clean:
 	$(MAKE) -C native clean

@@ -103,6 +103,56 @@ def make_attack(cfg: AttackConfig, is_train: bool = False) -> Optional[AttackFn]
     raise ValueError(f"Not available attack: {name!r}")
 
 
+def make_solver_attack(
+    cfg: AttackConfig, name: str
+) -> Optional[Callable[[jax.Array], jax.Array]]:
+    """Deterministic, differentiable channel model for ATTACK-AWARE
+    attribution (beyond-parity; no reference equivalent).
+
+    When the target is known to have passed through a channel A, the
+    sound objective is ``loss(A(G(w)), A(G(w*)))`` --- push the solver's
+    estimate through the same channel --- rather than asking the
+    generator to reproduce attack artifacts it cannot produce
+    (the reference always compares raw G(w) to the attacked target,
+    /root/reference/src/main.py:62-63).  Requirements inside the scan:
+    shape-preserving, rng-free, and differentiable, so
+
+    - Jpeg uses the vendored DiffJPEG's differentiable rounding (the
+      reference's own train-mode path, DiffJPEG.py:20-27) --- eval-mode
+      hard rounding has zero gradient almost everywhere;
+    - Noise maps to the identity: the channel is zero-mean, so the
+      attacked target is an unbiased observation of G(w*) and modeling
+      any specific draw would bias the fit;
+    - Combination composes its deterministic members (blur then jpeg;
+      eval mode applies each w.p. 1, ref Combination.py:16).
+    """
+    if name == "None":
+        return None
+    if name == "Noise":
+        return lambda img: img
+    if name == "Blur":
+        return lambda img: gaussian_blur(
+            img, sigma=cfg.blur_sigma, size=cfg.blur_filter_size
+        )
+    if name == "Crop":
+        return lambda img: center_crop(img, ratio=cfg.crop_ratio)
+    if name == "Jpeg":
+        return lambda img: jpeg_attack(
+            img, quality=cfg.jpeg_quality, differentiable=True
+        )
+    if name == "Combination":
+
+        def fn(img):
+            img = gaussian_blur(
+                img, sigma=cfg.blur_sigma, size=cfg.blur_filter_size
+            )
+            return jpeg_attack(img, quality=cfg.jpeg_quality, differentiable=True)
+
+        return fn
+
+    raise ValueError(f"Not available solver attack: {name!r}")
+
+
 def apply_attack(
     attack: Optional[AttackFn], img: jax.Array, rng: Optional[jax.Array] = None
 ) -> jax.Array:

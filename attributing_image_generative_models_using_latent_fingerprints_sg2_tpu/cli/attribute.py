@@ -151,6 +151,8 @@ def main(argv=None) -> int:
             class_onehot=pipe.class_onehot,
             truncation=pipe.truncation,
         )
+        if cfg.attribution.solver_attack != "None":
+            kw["attack_cfg"] = cfg.attack
         # jax.profiler trace of the first solve chunk (--profile);
         # prof.trace degrades to a warning on platforms without profiler
         trace_ctx = (

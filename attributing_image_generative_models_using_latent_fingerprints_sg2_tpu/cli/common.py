@@ -78,6 +78,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--polish_margin", type=float, default=0.05,
                    help="relative loss improvement a bit flip must clear "
                    "to be accepted (guards against noise-floor flips)")
+    p.add_argument("--attack_aware", action="store_true",
+                   help="attack-aware solving: push the solver's estimate "
+                   "through the same deterministic channel as "
+                   "--augmentation before the loss (differentiable Jpeg / "
+                   "Blur / Crop model; Noise maps to identity)")
     p.add_argument("--dtype", type=str, default="float32", help="float32 | bfloat16")
     p.add_argument("--remat", action="store_true", help="gradient-checkpoint synthesis blocks")
     p.add_argument("--mesh_data", type=int, default=0,
@@ -142,6 +147,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
             ctf_frac=getattr(args, "ctf_frac", 0.5),
             polish_sweeps=getattr(args, "polish_sweeps", 0),
             polish_margin=getattr(args, "polish_margin", 0.05),
+            solver_attack=(
+                args.augmentation
+                if getattr(args, "attack_aware", False)
+                else "None"
+            ),
         ),
         attack=AttackConfig(
             augmentation=args.augmentation,

@@ -62,7 +62,8 @@ ROBUSTNESS_ATTACKS = ["None", "Blur", "Noise", "Jpeg", "Combination", "Crop"]
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", choices=["headline", "robustness", "scaling",
-                                   "capacity", "perceptual", "polish"])
+                                   "capacity", "perceptual", "polish",
+                                   "attackaware"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -254,6 +255,23 @@ def cmd_perceptual(args) -> int:
     return _run_points(args, specs, "result/study_perceptual.json")
 
 
+def cmd_attackaware(args) -> int:
+    """Attack-aware solving A/B at the flagship point: for each attack
+    the target passed through, solve once normally (estimate compared
+    raw, the reference objective src/main.py:62-63) and once pushing
+    the estimate through the same deterministic channel model
+    (AttributionConfig.solver_attack).  Compare ``*_aware`` rows against
+    the matching study_robustness rows (same seeds and budget --- the
+    only delta is the channel model in the loss)."""
+    mk = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
+    specs = [
+        (f"64px_kl32_s6_{atk}_aware", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": atk, "attack_aware": True})
+        for atk in ["Blur", "Jpeg", "Crop", "Combination"]
+    ]
+    return _run_points(args, specs, "result/study_attackaware.json")
+
+
 def cmd_polish(args) -> int:
     """Discrete bit-polish A/B (attribute.polish_key_bits wired through
     AttributionConfig.polish_sweeps): the headline operating points
@@ -335,6 +353,7 @@ def main(argv=None) -> int:
         "capacity": cmd_capacity,
         "perceptual": cmd_perceptual,
         "polish": cmd_polish,
+        "attackaware": cmd_attackaware,
     }[args.cmd](args)
 
 

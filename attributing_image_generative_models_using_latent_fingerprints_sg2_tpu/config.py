@@ -100,6 +100,13 @@ class AttributionConfig:
     # correct decisions (flagship exact-match 12/20 -> 2/20); a few
     # percent keeps polish strictly evidence-driven.
     polish_margin: float = 0.05
+    # Attack-aware solving (beyond-parity): name of the KNOWN channel the
+    # target passed through; the solver pushes its estimate through the
+    # same deterministic differentiable channel model before the loss
+    # (attacks.make_solver_attack) instead of asking the generator to
+    # reproduce attack artifacts.  "None" = reference behavior (compare
+    # raw G(w) to the attacked target, src/main.py:62-63).
+    solver_attack: str = "None"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -101,9 +101,13 @@ def eval_point(
     chunk_starts: int = 0,
     polish_sweeps: int = 0,
     polish_margin: float = 0.05,
+    attack_aware: bool = False,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
-    report accuracy WITH confidence intervals and per-bit diagnostics."""
+    report accuracy WITH confidence intervals and per-bit diagnostics.
+    ``attack_aware`` pushes the solver's estimate through the same
+    deterministic channel model as the target attack
+    (AttributionConfig.solver_attack)."""
     d = pipe.mcfg.style_space_dim
     if shift is None:
         shift = d - key_len
@@ -112,6 +116,7 @@ def eval_point(
     acfg = AttributionConfig(
         steps=steps, n_starts=n_starts, loss=loss,
         polish_sweeps=polish_sweeps, polish_margin=polish_margin,
+        solver_attack=(attack if attack_aware else "None"),
     )
 
     rng = jax.random.fold_in(
@@ -123,11 +128,11 @@ def eval_point(
     w0, wx = fpe.embed(basis, alpha, bits)
     targets = jnp.clip(pl.synthesize(pipe, wx), -1.0, 1.0)
 
+    atk_cfg_full = None
     if attack != "None":
         base = attack_cfg if attack_cfg is not None else AttackConfig()
-        fn = make_attack(
-            dataclasses.replace(base, augmentation=attack), is_train=False
-        )
+        atk_cfg_full = dataclasses.replace(base, augmentation=attack)
+        fn = make_attack(atk_cfg_full, is_train=False)
         targets = fn(targets, k_atk)
     targets = jax.lax.stop_gradient(targets)
 
@@ -146,6 +151,7 @@ def eval_point(
             mcfg=pipe.mcfg,
             acfg=acfg,
             dtype=dtype,
+            attack_cfg=(atk_cfg_full if attack_aware else None),
         )
         got = np.asarray(res.key_bits)
         want = np.asarray(bits[c0:c1])

@@ -124,14 +124,27 @@ def make_attribution_step(
     class_onehot=None,
     truncation: float = 0.4,
     return_loss_fn: bool = False,
+    attack_cfg=None,
 ) -> Callable:
     """Build the fused (loss+grad+update) step for flattened [S, n] restarts.
 
     ``target_feats``: tuple of [S, 1, h, w, c] normalized VGG features
     (perceptual mode) or None; ``targets``: [S, 1, H, W, 3] images (mse
-    mode) or None.
+    mode) or None.  With ``acfg.solver_attack != "None"`` the estimate is
+    pushed through the deterministic channel model before the loss
+    (attack-aware attribution; ``attack_cfg`` supplies the strengths).
     """
     nl = sg2.n_latent(mcfg.img_size)
+
+    solver_attack = None
+    if acfg.solver_attack != "None":
+        from ..attacks import make_solver_attack
+        from ..config import AttackConfig
+
+        solver_attack = make_solver_attack(
+            attack_cfg if attack_cfg is not None else AttackConfig(),
+            acfg.solver_attack,
+        )
 
     def per_elem_loss(opt_params, ctf_sigma=None) -> jax.Array:
         alpha, key_logits = opt_params["alpha"], opt_params["key"]  # [S,n,*]
@@ -154,6 +167,10 @@ def make_attribution_step(
                 gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel, remat=remat
             )  # [S*n, H, W, 3] in `dtype` (mixed precision: optimizer state
             # and loss accumulation stay f32, synthesis/VGG in `dtype`)
+        if solver_attack is not None:
+            # channel model in f32 (the JPEG DCT/quant chain loses too
+            # much in bf16), back to the compute dtype for the loss path
+            imgs = solver_attack(imgs.astype(jnp.float32)).astype(imgs.dtype)
         if acfg.loss == "perceptual":
             extract = lpips_mod.extract_raw_features
             if remat_lpips:
@@ -242,7 +259,10 @@ def _polish_loop(per_elem, alpha, key_logits, sweeps, margin=0.05):
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "acfg", "sweeps", "dtype", "biggan_cfg", "truncation"),
+    static_argnames=(
+        "mcfg", "acfg", "sweeps", "dtype", "biggan_cfg", "truncation",
+        "attack_cfg",
+    ),
 )
 def polish_key_bits(
     gen_params,
@@ -260,6 +280,7 @@ def polish_key_bits(
     biggan_cfg=None,
     class_onehot: Optional[jax.Array] = None,
     truncation: float = 0.4,
+    attack_cfg=None,
 ):
     """Standalone discrete key refinement (see _polish_loop): polish an
     existing attribution (e.g. a resumed/stored result) against its
@@ -277,7 +298,7 @@ def polish_key_bits(
         gen_params, lpips_params, basis, noise, mcfg, acfg,
         target_feats, tgt, optax.identity(), dtype=cdtype,
         biggan_cfg=biggan_cfg, class_onehot=class_onehot,
-        truncation=truncation, return_loss_fn=True,
+        truncation=truncation, return_loss_fn=True, attack_cfg=attack_cfg,
     )
     return _polish_loop(
         per_elem, alpha, key_logits, sweeps, margin=acfg.polish_margin
@@ -288,7 +309,7 @@ def polish_key_bits(
     jax.jit,
     static_argnames=(
         "mcfg", "acfg", "n_starts", "steps", "remat", "remat_lpips", "dtype",
-        "biggan_cfg", "truncation",
+        "biggan_cfg", "truncation", "attack_cfg",
     ),
 )
 def attribute(
@@ -309,6 +330,7 @@ def attribute(
     biggan_cfg=None,
     class_onehot: Optional[jax.Array] = None,
     truncation: float = 0.4,
+    attack_cfg=None,
 ) -> AttributionResult:
     """Solve attribution for a batch of target images in one XLA program.
 
@@ -340,7 +362,7 @@ def attribute(
         gen_params, lpips_params, basis, noise, mcfg, acfg,
         target_feats, tgt, optimizer, remat=remat, remat_lpips=remat_lpips,
         dtype=cdtype, biggan_cfg=biggan_cfg, class_onehot=class_onehot,
-        truncation=truncation, return_loss_fn=True,
+        truncation=truncation, return_loss_fn=True, attack_cfg=attack_cfg,
     )
 
     if acfg.coarse_to_fine and acfg.loss != "mse":
