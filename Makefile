@@ -3,7 +3,8 @@
 PY ?= python
 
 .PHONY: all native test test-fast bench dryrun parity quality_selftrain \
-        headline robustness scaling capacity perceptual polish attackaware clean
+        headline robustness scaling capacity perceptual polish attackaware \
+        pruning clean
 
 all: native
 
@@ -76,6 +77,9 @@ polish:
 
 attackaware:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study attackaware
+
+pruning:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study pruning
 
 clean:
 	$(MAKE) -C native clean

@@ -78,6 +78,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--polish_margin", type=float, default=0.05,
                    help="relative loss improvement a bit flip must clear "
                    "to be accepted (guards against noise-floor flips)")
+    p.add_argument("--prune_starts", type=int, default=0,
+                   help="successive halving over restarts: after "
+                   "--prune_frac of the schedule keep only this many "
+                   "best restarts per sample (0 = off)")
+    p.add_argument("--prune_frac", type=float, default=0.25,
+                   help="fraction of steps all restarts run before pruning")
     p.add_argument("--attack_aware", action="store_true",
                    help="attack-aware solving: push the solver's estimate "
                    "through the same deterministic channel as "
@@ -147,6 +153,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             ctf_frac=getattr(args, "ctf_frac", 0.5),
             polish_sweeps=getattr(args, "polish_sweeps", 0),
             polish_margin=getattr(args, "polish_margin", 0.05),
+            prune_starts=getattr(args, "prune_starts", 0),
+            prune_frac=getattr(args, "prune_frac", 0.25),
             solver_attack=(
                 args.augmentation
                 if getattr(args, "attack_aware", False)

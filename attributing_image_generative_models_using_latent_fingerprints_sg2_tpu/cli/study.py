@@ -63,7 +63,7 @@ def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", choices=["headline", "robustness", "scaling",
                                    "capacity", "perceptual", "polish",
-                                   "attackaware"])
+                                   "attackaware", "pruning"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -132,12 +132,13 @@ def _run_points(args, point_specs, out_default: str) -> int:
         chunk = args.chunk_samples or (
             10 if mk["img_size"] <= 64 else (5 if small else 2)
         )
-        rec = study.eval_point(
-            pipes[pk],
+        call_kw = dict(
             samples=args.samples, steps=args.steps, n_starts=args.n,
             seed=args.seed, chunk_samples=chunk,
-            lpips_params=(factory() if factory is not None else None), **ek,
+            lpips_params=(factory() if factory is not None else None),
         )
+        call_kw.update(ek)  # point spec overrides the defaults (e.g. n_starts)
+        rec = study.eval_point(pipes[pk], **call_kw)
         rec["tag"] = tag
         rec["train_steps"] = mk["train_steps"]
         rec["bit_sigma_spearman"] = study.bit_sigma_correlation(rec)
@@ -272,6 +273,28 @@ def cmd_attackaware(args) -> int:
     return _run_points(args, specs, "result/study_attackaware.json")
 
 
+def cmd_pruning(args) -> int:
+    """Restart-pruning (successive halving) A/B at the flagship points:
+    the same operating points as study_headline, re-solved with all 20
+    restarts warmed for 25% of the schedule then pruned to the best 5
+    (compute = 0.25 + 0.75*5/20 = 44% of the full solve), plus a
+    matched-compute row that reinvests the savings into more restarts
+    (n=40 pruned to 8 ~ 0.94x the baseline compute).  Compare
+    row-for-row against study_headline.json and each row's wall_s."""
+    specs = []
+    for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
+        mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
+        for kl, sig in [(32, 6.0), (64, 6.0)]:
+            base = {"key_len": kl, "sigma": sig}
+            specs.append(
+                (f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_prune20to5", mk,
+                 {**base, "prune_starts": 5}))
+            specs.append(
+                (f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}_n40prune8", mk,
+                 {**base, "prune_starts": 8, "n_starts": 40}))
+    return _run_points(args, specs, "result/study_pruning.json")
+
+
 def cmd_polish(args) -> int:
     """Discrete bit-polish A/B (attribute.polish_key_bits wired through
     AttributionConfig.polish_sweeps): the headline operating points
@@ -354,6 +377,7 @@ def main(argv=None) -> int:
         "perceptual": cmd_perceptual,
         "polish": cmd_polish,
         "attackaware": cmd_attackaware,
+        "pruning": cmd_pruning,
     }[args.cmd](args)
 
 

@@ -100,6 +100,15 @@ class AttributionConfig:
     # correct decisions (flagship exact-match 12/20 -> 2/20); a few
     # percent keeps polish strictly evidence-driven.
     polish_margin: float = 0.05
+    # Restart pruning / successive halving (beyond-parity): run all
+    # n_starts LHS restarts for prune_frac of the schedule, keep the best
+    # prune_starts per sample by current loss, and spend the remaining
+    # steps only on the survivors.  Cuts solve cost by up to
+    # 1 - (prune_frac + (1-prune_frac)*prune_starts/n_starts) at the risk
+    # of dropping a late-blooming restart (measured: make pruning).
+    # 0 = off (reference behavior: every restart runs the full schedule).
+    prune_starts: int = 0
+    prune_frac: float = 0.25
     # Attack-aware solving (beyond-parity): name of the KNOWN channel the
     # target passed through; the solver pushes its estimate through the
     # same deterministic differentiable channel model before the loss

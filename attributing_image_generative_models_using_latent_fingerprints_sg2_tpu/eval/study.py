@@ -102,6 +102,8 @@ def eval_point(
     polish_sweeps: int = 0,
     polish_margin: float = 0.05,
     attack_aware: bool = False,
+    prune_starts: int = 0,
+    prune_frac: float = 0.25,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
     report accuracy WITH confidence intervals and per-bit diagnostics.
@@ -117,6 +119,7 @@ def eval_point(
         steps=steps, n_starts=n_starts, loss=loss,
         polish_sweeps=polish_sweeps, polish_margin=polish_margin,
         solver_attack=(attack if attack_aware else "None"),
+        prune_starts=prune_starts, prune_frac=prune_frac,
     )
 
     rng = jax.random.fold_in(

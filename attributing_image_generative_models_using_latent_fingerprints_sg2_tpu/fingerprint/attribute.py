@@ -379,10 +379,48 @@ def attribute(
         )
     else:
         xs = jnp.zeros((steps,))  # step ignores the sigma when ctf is off
-    (opt_params, _), per = jax.lax.scan(step, (opt_params, opt_state), xs)
-    final_per = per[-1]  # [S, n] last-step per-element loss (pre-update,
-    # matching the reference which records loss before the final update's
-    # effect is observed, src/main.py:79)
+    k_keep = acfg.prune_starts
+    start_map = None  # pruned-index -> original restart index
+    if k_keep and 0 < k_keep < n_starts:
+        # Successive-halving over restarts (beyond-parity): run every LHS
+        # start for the warmup fraction, keep the top-k per sample by
+        # current loss, and spend the remaining budget only on survivors.
+        # Restart chains are independent and ranked by the same objective
+        # the final argmin uses (ref picks min final loss,
+        # src/main.py:84-87), so pruning only costs accuracy when a
+        # late-bloomer would have overtaken the warmup leaders ---
+        # measured in the `make pruning` study.  Adam state (including
+        # the schedule count, so the LR decay is continuous) is gathered
+        # along with the survivors; everything stays one XLA program
+        # with static shapes.
+        warm = min(max(1, int(acfg.prune_frac * steps)), steps - 1)
+        (opt_params, opt_state), per1 = jax.lax.scan(
+            step, (opt_params, opt_state), xs[:warm]
+        )
+        start_map = jnp.argsort(per1[-1], axis=1)[:, :k_keep]  # [S, k]
+
+        def _gather(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 2 and x.shape[:2] == (s_, n_starts):
+                idx = start_map.reshape((s_, k_keep) + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(x, idx, axis=1)
+            return x  # schedule count and other non-per-restart state
+
+        opt_params = jax.tree.map(_gather, opt_params)
+        opt_state = jax.tree.map(_gather, opt_state)
+        (opt_params, _), per2 = jax.lax.scan(
+            step, (opt_params, opt_state), xs[warm:]
+        )
+        final_per = per2[-1]  # [S, k]
+        curve = jnp.concatenate(
+            [jnp.mean(per1, axis=(1, 2)), jnp.mean(per2, axis=(1, 2))]
+        )
+    else:
+        (opt_params, _), per = jax.lax.scan(step, (opt_params, opt_state), xs)
+        final_per = per[-1]  # [S, n] last-step per-element loss (pre-update,
+        # matching the reference which records loss before the final update's
+        # effect is observed, src/main.py:79)
+        curve = jnp.mean(per, axis=(1, 2))
 
     best = jnp.argmin(final_per, axis=1)  # [S]
     take = lambda x: jnp.take_along_axis(
@@ -400,6 +438,11 @@ def attribute(
         )
         bits = jnp.round(jax.nn.sigmoid(key_best))
 
+    if start_map is not None:
+        # report the ORIGINAL restart index of the winner; losses_all is
+        # [S, prune_starts] (survivors only) under pruning
+        best = jnp.take_along_axis(start_map, best[:, None], axis=1)[:, 0]
+
     return AttributionResult(
         alpha=alpha_best,
         key_logits=key_best,
@@ -407,7 +450,7 @@ def attribute(
         loss=loss_best,
         losses_all=final_per,
         best_start=best,
-        loss_curve=jnp.mean(per, axis=(1, 2)),
+        loss_curve=curve,
     )
 
 
