@@ -184,6 +184,15 @@ def eval_point(
         "samples": samples,
         "steps": steps,
         "n_starts": n_starts,
+        # executed chain-steps per sample: the pruning rows' compute
+        # budget relative to the full solve (warm*n + (steps-warm)*k)
+        "chain_steps_per_sample": (
+            min(max(1, int(prune_frac * steps)), steps - 1) * n_starts
+            + (steps - min(max(1, int(prune_frac * steps)), steps - 1))
+            * prune_starts
+            if 0 < prune_starts < n_starts
+            else steps * n_starts
+        ),
         "mean_bit_acc": float(accs.mean()),
         "bit_acc_ci95": [float(accs.mean() - 1.96 * sem), float(accs.mean() + 1.96 * sem)],
         "bit_acc_min": float(accs.min()),
