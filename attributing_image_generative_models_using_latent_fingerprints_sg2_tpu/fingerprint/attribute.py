@@ -381,7 +381,7 @@ def attribute(
         xs = jnp.zeros((steps,))  # step ignores the sigma when ctf is off
     k_keep = acfg.prune_starts
     start_map = None  # pruned-index -> original restart index
-    if k_keep and 0 < k_keep < n_starts:
+    if k_keep and 0 < k_keep < n_starts and steps >= 2:
         # Successive-halving over restarts (beyond-parity): run every LHS
         # start for the warmup fraction, keep the top-k per sample by
         # current loss, and spend the remaining budget only on survivors.
