@@ -1,0 +1,113 @@
+"""Wiring tests for the quality-study driver (cli/study.py).
+
+The studies burn hours of TPU time; these tests validate the spec
+construction, jsonl resume, kwarg threading (e.g. per-point ``n_starts``
+overrides must beat the CLI default), and tag uniqueness with the
+training/eval layers stubbed out --- so a wiring bug surfaces on CPU in
+seconds, not on the chip mid-study.
+"""
+
+import json
+import os
+
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+    study as study_cli,
+)
+
+
+class _Args:
+    def __init__(self, tmp, cmd, only=""):
+        self.cmd = cmd
+        self.out = os.path.join(tmp, f"{cmd}.json")
+        self.cache_dir = os.path.join(tmp, "ckpts")
+        self.samples = 4
+        self.steps = 50
+        self.n = 6
+        self.seed = 1
+        self.chunk_samples = 2
+        self.only = only
+        self.compile_cache = ""
+
+
+@pytest.fixture
+def stubbed(monkeypatch, tmp_path):
+    """Stub the expensive layers; record every eval_point call."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.eval import (
+        study,
+    )
+
+    calls = []
+
+    def fake_ensure_trained(img_size, channel_max, train_steps, cache_dir, **kw):
+        return f"{cache_dir}/sg2_{img_size}px_cm{channel_max}_s{train_steps}.npz"
+
+    def fake_build_pipeline(ckpt, img_size, channel_max):
+        return {"ckpt": ckpt, "img": img_size, "cm": channel_max}
+
+    def fake_eval_point(pipe, **kw):
+        calls.append(kw)
+        return {
+            "mean_bit_acc": 0.9,
+            "bit_acc_ci95": [0.85, 0.95],
+            "exact_match": 0.5,
+            "exact_match_k": 2,
+            "exact_match_ci95": [0.1, 0.9],
+            "band_sigma_median": 0.05,
+            "samples": kw.get("samples", 0),
+        }
+
+    monkeypatch.setattr(study, "ensure_trained", fake_ensure_trained)
+    monkeypatch.setattr(study, "build_study_pipeline", fake_build_pipeline)
+    monkeypatch.setattr(study, "eval_point", fake_eval_point)
+    monkeypatch.setattr(study, "bit_sigma_correlation", lambda rec: 0.0)
+    return calls, tmp_path
+
+
+def test_pruning_specs_thread_overrides(stubbed):
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "pruning")
+    assert study_cli.cmd_pruning(args) == 0
+    assert len(calls) == 8  # 4 operating points x {20->5, n40->8}
+    n40 = [c for c in calls if c.get("n_starts") == 40]
+    assert len(n40) == 4  # per-point n_starts override beats args.n
+    assert all(c["prune_starts"] == 8 for c in n40)
+    rest = [c for c in calls if c.get("n_starts") != 40]
+    assert all(c["n_starts"] == 6 for c in rest)  # CLI default flows through
+    assert all(c["prune_starts"] == 5 for c in rest)
+    out = json.load(open(args.out))
+    assert len(out) == 8
+    assert len({r["tag"] for r in out}) == 8  # unique tags
+
+
+def test_attackaware_specs(stubbed):
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "attackaware")
+    assert study_cli.cmd_attackaware(args) == 0
+    assert sorted(c["attack"] for c in calls) == [
+        "Blur", "Combination", "Crop", "Jpeg",
+    ]
+    assert all(c["attack_aware"] is True for c in calls)
+
+
+def test_jsonl_resume_skips_done_points(stubbed):
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "attackaware")
+    # pre-complete one point in the jsonl
+    jsonl = "result/study_attackaware.json.jsonl" if not args.out else args.out + ".jsonl"
+    os.makedirs(os.path.dirname(jsonl) or ".", exist_ok=True)
+    with open(jsonl, "w") as f:
+        f.write(json.dumps({"tag": "64px_kl32_s6_Jpeg_aware", "mean_bit_acc": 0.7}) + "\n")
+    assert study_cli.cmd_attackaware(args) == 0
+    assert len(calls) == 3  # Jpeg row skipped
+    out = json.load(open(args.out))
+    assert len(out) == 4  # cached row still lands in the final table
+
+
+def test_only_filter(stubbed):
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "pruning", only="n40")
+    assert study_cli.cmd_pruning(args) == 0
+    assert len(calls) == 4
+    assert all(c["n_starts"] == 40 for c in calls)
