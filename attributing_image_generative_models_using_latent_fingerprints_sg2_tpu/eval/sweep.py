@@ -61,6 +61,14 @@ def run_sweep(
     disc_params=None,
 ) -> List[SweepPoint]:
     acfg = acfg or AttributionConfig(steps=200, n_starts=4, loss="mse")
+    if acfg.solver_attack != "None":
+        raise ValueError(
+            "run_sweep solves CLEAN targets (capacity-vs-visibility grid); "
+            "attack-aware solving (solver_attack="
+            f"{acfg.solver_attack!r}) would push the estimate through a "
+            "channel the targets never passed --- use eval.study.eval_point"
+            "(attack=..., attack_aware=True) for attacked-target studies"
+        )
     k_build, k_run = jax.random.split(key)
 
     # one model + one PCA for the whole grid
