@@ -158,3 +158,46 @@ def test_divisibility_error(pipe):
             pm.make_mesh(), pipe.gen_params, None, pipe.basis, pipe.noise,
             imgs, jax.random.PRNGKey(7), mcfg=MCFG, acfg=ACFG,
         )
+
+
+def test_data_parallel_pruned_and_aware_matches_single_device(pipe):
+    """Round-3 solver options compose with the mesh: restart pruning
+    (per-sample gather along the restart axis) and attack-aware solving
+    (channel model inside the loss) both stay DP-exact --- the sharded
+    solve equals the single-device solve."""
+    import dataclasses
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.attacks import (
+        center_crop,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        AttackConfig,
+    )
+
+    acfg = dataclasses.replace(
+        ACFG, steps=12, n_starts=4, prune_starts=2, prune_frac=0.5,
+        solver_attack="Crop",
+    )
+    atk = AttackConfig(augmentation="Crop", crop_ratio=0.75)
+    imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(3), 8)
+    targets = center_crop(imgs, ratio=0.75)
+    rng = jax.random.PRNGKey(4)
+
+    res1 = attr.attribute(
+        pipe.gen_params, None, pipe.basis, pipe.noise, targets, rng,
+        mcfg=MCFG, acfg=acfg, attack_cfg=atk,
+    )
+    res8 = attribute_on_mesh(
+        pm.make_mesh(), pipe.gen_params, None, pipe.basis, pipe.noise,
+        targets, rng, mcfg=MCFG, acfg=acfg, attack_cfg=atk,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1.loss), np.asarray(res8.loss), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res1.key_bits), np.asarray(res8.key_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res1.best_start), np.asarray(res8.best_start)
+    )
+    assert res8.losses_all.shape == (8, 2)  # survivors only
