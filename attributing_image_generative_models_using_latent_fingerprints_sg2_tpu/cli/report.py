@@ -1,0 +1,133 @@
+"""Render the BASELINE.md quality tables from the study records.
+
+``python -m ...cli.report [study ...]`` reads ``result/study_<name>.json.jsonl``
+(the per-point records the study driver checkpoints as it runs,
+``cli/study.py``) and prints each table as GitHub markdown with the same
+columns BASELINE.md cites — so the document's tables are a mechanical
+render of the measured records, never a hand transcription.  The
+reference has no analog (its ``result.txt`` is a raw per-sample log,
+/root/reference/src/main.py:151-154).
+
+With no arguments it renders every study that has records on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+RESULT_DIR = "result"
+STUDIES = ["headline", "robustness", "scaling", "perceptual", "polish",
+           "attackaware", "pruning", "capacity"]
+
+
+def _load(name: str):
+    path = os.path.join(RESULT_DIR, f"study_{name}.json.jsonl")
+    if not os.path.exists(path):
+        # capacity writes only the final JSON (sweep_to_json), no jsonl
+        path = os.path.join(RESULT_DIR, f"study_{name}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                recs.append(json.loads(line))
+    return recs
+
+
+def _ci(rec, key):
+    lo, hi = rec[key]
+    return f"[{lo:.3f}, {hi:.3f}]"
+
+
+def _acc_cell(rec):
+    return f"{rec['mean_bit_acc']:.4f} {_ci(rec, 'bit_acc_ci95')}"
+
+
+def _exact_cell(rec):
+    return (f"{rec['exact_match_k']}/{rec['samples']} "
+            f"{_ci(rec, 'exact_match_ci95')}")
+
+
+def _table(rows, header):
+    out = ["| " + " | ".join(header) + " |",
+           "|" + "---|" * len(header)]
+    for r in rows:
+        out.append("| " + " | ".join(str(c) for c in r) + " |")
+    return "\n".join(out)
+
+
+def _std_rows(recs, label=lambda r: r["tag"]):
+    rows = []
+    for r in sorted(recs, key=lambda r: -r["mean_bit_acc"]):
+        rows.append([label(r), _acc_cell(r), _exact_cell(r),
+                     f"{r.get('wall_s', 0):.0f}s"])
+    return _table(rows, ["point", "mean bit acc [95% CI]",
+                         "exact match [95% CI]", "wall"])
+
+
+def render(name: str, recs) -> str:
+    title = f"## study_{name} ({len(recs)} points)"
+    if name == "capacity":
+        fmt = lambda v: f"{v:.2f}" if isinstance(v, float) else v
+        rows = [[r.get("key_len"), r.get("sigma"), fmt(r.get("fid")),
+                 fmt(r.get("fid_disc")), round(r.get("mean_bit_acc", 0), 4)]
+                for r in recs]
+        return title + "\n" + _table(
+            rows, ["key_len", "sigma", "watermark FID", "disc-feature FD",
+                   "mean bit acc"])
+    if name == "scaling":
+        rows = []
+        for r in sorted(recs, key=lambda r: (r["img_size"],
+                                             r["channel_max"],
+                                             r["train_steps"], r["sigma"])):
+            rows.append([
+                f"{r['img_size']} / {r['channel_max']} / "
+                f"{r['train_steps'] // 1000}k",
+                f"s={r['sigma']:g}", f"{r['mean_bit_acc']:.4f}",
+                f"{r['band_sigma_median']:.3f}",
+                f"{r['content_sigma_median']:.3f}",
+                f"{r.get('bit_sigma_spearman', 0) or 0:.2f}"])
+        return title + "\n" + _table(
+            rows, ["model (px/width/steps)", "sigma", "bit acc",
+                   "key-band sigma med", "content sigma med",
+                   "bit-vs-sigma Spearman"])
+    if name == "pruning":
+        rows = []
+        for r in sorted(recs, key=lambda r: r["tag"]):
+            rows.append([r["tag"], _acc_cell(r), _exact_cell(r),
+                         r.get("chain_steps_per_sample", ""),
+                         f"{r.get('wall_s', 0):.0f}s"])
+        return title + "\n" + _table(
+            rows, ["point", "mean bit acc [95% CI]", "exact match [95% CI]",
+                   "chain-steps/sample", "wall"])
+    return title + "\n" + _std_rows(recs)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("studies", nargs="*", default=[],
+                   help=f"subset of {STUDIES} (default: all with records)")
+    args = p.parse_args(argv)
+    names = args.studies or STUDIES
+    shown = 0
+    for name in names:
+        recs = _load(name)
+        if not recs:
+            if args.studies:
+                print(f"[report] no records for study_{name}", file=sys.stderr)
+            continue
+        print(render(name, recs))
+        print()
+        shown += 1
+    return 0 if shown else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,10 +21,14 @@ also taken as a marginal between the two scan lengths; peak is the chip's
 bf16 peak (v5e: 197 TFLOP/s).
 
 Presets (``python bench.py [--preset P]``):
-- ``default``  --- 256px attribution, bf16, 16 chains (the headline metric)
-- ``1024px``   --- 1024px attribution, bf16 + remat, 4 chains
-- ``generate`` --- 1024px fingerprinted generation, bf16, imgs/sec
-- ``biggan``   --- 256px BigGAN-deep fingerprinted generation, bf16
+- ``default``      --- 256px attribution, bf16, 16 chains (the headline metric)
+- ``1024px``       --- 1024px attribution, bf16 + remat, 4 chains
+- ``generate``     --- 1024px fingerprinted generation, bf16, imgs/sec
+- ``biggan``       --- 256px BigGAN-deep fingerprinted generation, bf16
+- ``train``        --- 64px GAN-training steps/sec (the selftrain recipe)
+- ``lpips``        --- per-slice LPIPS fwd+bwd roofline (ms / GFLOP / TF/s)
+- ``gen_roofline`` --- per-resolution-block generation decomposition
+- ``ref_cpu``      --- the reference's own serial loop, CPU torch (anchor)
 
 Output: ONE JSON line {metric, value, unit, vs_baseline, mfu, ...}.
 

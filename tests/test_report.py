@@ -1,0 +1,59 @@
+"""The report CLI renders study jsonl records as the BASELINE.md tables."""
+
+import json
+import os
+import subprocess
+import sys
+
+REC = {
+    "tag": "64px_kl32_s6_None", "img_size": 64, "channel_max": 128,
+    "train_steps": 3000, "key_len": 32, "sigma": 6.0, "samples": 20,
+    "mean_bit_acc": 0.9187, "bit_acc_ci95": [0.872, 0.965],
+    "exact_match_k": 10, "exact_match_ci95": [0.299, 0.701],
+    "band_sigma_median": 0.064, "content_sigma_median": 0.268,
+    "bit_sigma_spearman": 0.11, "wall_s": 261.0,
+}
+
+
+def _run(cwd, *args):
+    return subprocess.run(
+        [sys.executable, "-m",
+         "attributing_image_generative_models_using_latent_fingerprints_sg2_tpu"
+         ".cli.report", *args],
+        cwd=cwd, capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))},
+    )
+
+
+def test_report_renders_jsonl(tmp_path):
+    (tmp_path / "result").mkdir()
+    with open(tmp_path / "result" / "study_robustness.json.jsonl", "w") as f:
+        f.write(json.dumps(REC) + "\n")
+        f.write(json.dumps({**REC, "tag": "64px_kl32_s6_Crop",
+                            "mean_bit_acc": 0.7422}) + "\n")
+    out = _run(tmp_path, "robustness")
+    assert out.returncode == 0, out.stderr
+    assert "study_robustness (2 points)" in out.stdout
+    # sorted by accuracy descending, CI rendered
+    body = out.stdout
+    assert body.index("None") < body.index("Crop")
+    assert "0.9187 [0.872, 0.965]" in body
+    assert "10/20 [0.299, 0.701]" in body
+
+
+def test_report_scaling_columns(tmp_path):
+    (tmp_path / "result").mkdir()
+    with open(tmp_path / "result" / "study_scaling.json.jsonl", "w") as f:
+        f.write(json.dumps(REC) + "\n")
+    out = _run(tmp_path, "scaling")
+    assert out.returncode == 0, out.stderr
+    assert "64 / 128 / 3k" in out.stdout
+    assert "key-band sigma med" in out.stdout
+
+
+def test_report_missing_study_errors(tmp_path):
+    (tmp_path / "result").mkdir()
+    out = _run(tmp_path, "headline")
+    assert out.returncode == 1
+    assert "no records" in out.stderr
