@@ -32,12 +32,18 @@ def _load(name: str):
             return None
         with open(path) as f:
             return json.load(f)
-    recs = []
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                recs.append(json.loads(line))
+        lines = [ln.strip() for ln in f if ln.strip()]
+    recs = []
+    for i, line in enumerate(lines):
+        try:
+            recs.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:  # torn trailing line from a crash
+                print(f"[report] dropping torn trailing line in {path}",
+                      file=sys.stderr)
+                continue
+            raise
     return recs
 
 

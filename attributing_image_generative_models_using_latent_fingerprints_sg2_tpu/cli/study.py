@@ -87,11 +87,20 @@ def _load_done(jsonl_path: str) -> dict:
     done = {}
     if os.path.exists(jsonl_path):
         with open(jsonl_path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    rec = json.loads(line)
-                    done[rec["tag"]] = rec
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for i, line in enumerate(lines):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # A TPU worker hard-crash mid-append leaves a torn FINAL
+                # line; drop it (the point reruns) instead of breaking
+                # resume forever.  A torn non-final line means real
+                # corruption --- surface it.
+                if i == len(lines) - 1:
+                    print(f"[study] dropping torn trailing line in {jsonl_path}")
+                    continue
+                raise
+            done[rec["tag"]] = rec
     return done
 
 
@@ -129,9 +138,14 @@ def _run_points(args, point_specs, out_default: str) -> int:
         ek = dict(ek)
         factory = ek.pop("_lpips_factory", None)
         small = mk["img_size"] <= 128 and mk["channel_max"] <= 128
-        chunk = args.chunk_samples or (
+        # The measured worker-crash envelope (parser help) is in CONCURRENT
+        # CHAINS (= chunk * n_starts), sized for the default n=20 --- scale
+        # the sample chunk down when a point overrides n_starts (e.g. the
+        # pruning study's n=40 rows) so the chain budget is preserved.
+        n_eff = max(1, ek.get("n_starts", args.n))
+        chunk = args.chunk_samples or max(1, (
             10 if mk["img_size"] <= 64 else (5 if small else 2)
-        )
+        ) * 20 // n_eff)
         call_kw = dict(
             samples=args.samples, steps=args.steps, n_starts=args.n,
             seed=args.seed, chunk_samples=chunk,
@@ -222,15 +236,20 @@ def cmd_perceptual(args) -> int:
     )
 
     def _calibrated(make_base, seed):
+        cache = []  # fit once per backbone, not once per attack point ---
+        # the seed is fixed, so re-fitting produces identical heads
+
         def factory():
-            base = make_base()
-            r0 = rank_accuracy(base, size=mk["img_size"])
-            fitted = calibrate_lin_heads(
-                base, key=jax.random.PRNGKey(seed), size=mk["img_size"]
-            )
-            r1 = rank_accuracy(fitted, size=mk["img_size"])
-            print(f"[study] 2AFC calibration: rank acc {r0:.3f} -> {r1:.3f}")
-            return fitted
+            if not cache:
+                base = make_base()
+                r0 = rank_accuracy(base, size=mk["img_size"])
+                fitted = calibrate_lin_heads(
+                    base, key=jax.random.PRNGKey(seed), size=mk["img_size"]
+                )
+                r1 = rank_accuracy(fitted, size=mk["img_size"])
+                print(f"[study] 2AFC calibration: rank acc {r0:.3f} -> {r1:.3f}")
+                cache.append(fitted)
+            return cache[0]
 
         return factory
 
@@ -278,8 +297,9 @@ def cmd_pruning(args) -> int:
     the same operating points as study_headline, re-solved with all 20
     restarts warmed for 25% of the schedule then pruned to the best 5
     (compute = 0.25 + 0.75*5/20 = 44% of the full solve), plus a
-    matched-compute row that reinvests the savings into more restarts
-    (n=40 pruned to 8 ~ 0.94x the baseline compute).  Compare
+    reinvestment row that spends part of the savings on more restarts
+    (n=40 pruned to 8: 0.25*40/20 + 0.75*8/20 = 0.80x the baseline
+    compute --- wider exploration at a still-cheaper budget).  Compare
     row-for-row against study_headline.json and each row's wall_s."""
     specs = []
     for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:

@@ -185,13 +185,10 @@ def eval_point(
         "steps": steps,
         "n_starts": n_starts,
         # executed chain-steps per sample: the pruning rows' compute
-        # budget relative to the full solve (warm*n + (steps-warm)*k)
-        "chain_steps_per_sample": (
-            min(max(1, int(prune_frac * steps)), steps - 1) * n_starts
-            + (steps - min(max(1, int(prune_frac * steps)), steps - 1))
-            * prune_starts
-            if 0 < prune_starts < n_starts
-            else steps * n_starts
+        # budget relative to the full solve (shared helper so the record
+        # cannot desynchronize from attribute()'s actual schedule)
+        "chain_steps_per_sample": attr.executed_chain_steps(
+            steps, n_starts, prune_starts, prune_frac
         ),
         "mean_bit_acc": float(accs.mean()),
         "bit_acc_ci95": [float(accs.mean() - 1.96 * sem), float(accs.mean() + 1.96 * sem)],
@@ -213,16 +210,19 @@ def eval_point(
 
 def bit_sigma_correlation(point: Dict[str, Any]) -> float:
     """Spearman rank correlation between per-bit accuracy and the sigma of
-    the PC carrying that bit (positive = low-sigma axes lose bits)."""
+    the PC carrying that bit (positive = low-sigma axes lose bits).
+
+    Tie-corrected (average ranks): per-bit accuracies are quantized to
+    k/samples with large tie groups (many bits at 1.0), so argsort-based
+    ranks would break ties by bit index and bias rho toward the
+    index-ordered sigma ranks."""
+    from scipy import stats
+
     acc = np.asarray(point["per_bit_acc"])
     sig = np.asarray(point["band_sigma"])
     if acc.std() == 0 or sig.std() == 0:
         return float("nan")
-    ra = np.argsort(np.argsort(acc)).astype(np.float64)
-    rs = np.argsort(np.argsort(sig)).astype(np.float64)
-    ra -= ra.mean()
-    rs -= rs.mean()
-    return float((ra * rs).sum() / np.sqrt((ra * ra).sum() * (rs * rs).sum()))
+    return float(stats.spearmanr(acc, sig).statistic)
 
 
 def ensure_trained(

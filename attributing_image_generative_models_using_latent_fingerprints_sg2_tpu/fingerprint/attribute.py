@@ -217,6 +217,25 @@ def make_attribution_step(
     return step
 
 
+def prune_warm_steps(steps: int, prune_frac: float) -> int:
+    """Warm-phase length of the successive-halving schedule (see
+    ``attribute``): at least 1 step, at most steps-1."""
+    return min(max(1, int(prune_frac * steps)), steps - 1)
+
+
+def executed_chain_steps(
+    steps: int, n_starts: int, prune_starts: int, prune_frac: float
+) -> int:
+    """Chain-steps actually executed per sample, mirroring ``attribute``'s
+    pruning guard exactly (including the degenerate steps<2 case where
+    pruning is skipped).  The compute-accounting source of truth for the
+    study records."""
+    if prune_starts and 0 < prune_starts < n_starts and steps >= 2:
+        warm = prune_warm_steps(steps, prune_frac)
+        return warm * n_starts + (steps - warm) * prune_starts
+    return steps * n_starts
+
+
 def _polish_loop(per_elem, alpha, key_logits, sweeps, margin=0.05):
     """Greedy coordinate descent over key-logit SIGNS at fixed alpha.
 
@@ -393,7 +412,7 @@ def attribute(
         # the schedule count, so the LR decay is continuous) is gathered
         # along with the survivors; everything stays one XLA program
         # with static shapes.
-        warm = min(max(1, int(acfg.prune_frac * steps)), steps - 1)
+        warm = prune_warm_steps(steps, acfg.prune_frac)
         (opt_params, opt_state), per1 = jax.lax.scan(
             step, (opt_params, opt_state), xs[:warm]
         )

@@ -111,3 +111,61 @@ def test_only_filter(stubbed):
     assert study_cli.cmd_pruning(args) == 0
     assert len(calls) == 4
     assert all(c["n_starts"] == 40 for c in calls)
+
+
+def test_auto_chunk_respects_chain_budget(stubbed):
+    """The crash envelope is measured in CONCURRENT CHAINS (chunk * n):
+    points that override n_starts (the pruning study's n=40 rows) must
+    shrink the sample chunk so chunk*n stays at the measured budget."""
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "pruning")
+    args.chunk_samples = 0  # auto
+    args.n = 20
+    assert study_cli.cmd_pruning(args) == 0
+    for c in calls:
+        n = c.get("n_starts", args.n)
+        # budget: 10*20=200 chains at 64px, 5*20=100 at 128px
+        assert c["chunk_samples"] * n <= 200
+
+
+def test_torn_trailing_jsonl_line_resumes(stubbed):
+    """A TPU worker crash mid-append leaves a torn final line; resume
+    must drop it (rerunning that point) instead of crashing forever."""
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "attackaware")
+    jsonl = args.out + ".jsonl"
+    with open(jsonl, "w") as f:
+        f.write(json.dumps({"tag": "64px_kl32_s6_Jpeg_aware",
+                            "mean_bit_acc": 0.7}) + "\n")
+        f.write('{"tag": "64px_kl32_s6_Crop_aware", "mean_bi')  # torn
+    assert study_cli.cmd_attackaware(args) == 0
+    assert len(calls) == 3  # Jpeg cached; Crop RERUN (torn line dropped)
+    assert {c["attack"] for c in calls} == {"Blur", "Crop", "Combination"}
+
+
+def test_torn_middle_jsonl_line_raises(stubbed, tmp_path):
+    calls, tmp = stubbed
+    args = _Args(str(tmp), "attackaware")
+    with open(args.out + ".jsonl", "w") as f:
+        f.write('{"torn": \n')
+        f.write(json.dumps({"tag": "x", "mean_bit_acc": 0.7}) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        study_cli.cmd_attackaware(args)
+
+
+def test_executed_chain_steps_matches_attribute_guards():
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.attribute import (
+        executed_chain_steps,
+    )
+
+    # no pruning
+    assert executed_chain_steps(2000, 20, 0, 0.25) == 40000
+    # standard halving: 500*20 + 1500*5
+    assert executed_chain_steps(2000, 20, 5, 0.25) == 17500
+    # reinvestment row: 500*40 + 1500*8 = 0.80x of 40000
+    assert executed_chain_steps(2000, 40, 8, 0.25) == 32000
+    # degenerate 1-step schedule: attribute() skips pruning (steps >= 2
+    # guard), so the accounting must too
+    assert executed_chain_steps(1, 20, 5, 0.25) == 20
+    # prune_starts >= n_starts disables pruning
+    assert executed_chain_steps(100, 4, 4, 0.25) == 400
