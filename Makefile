@@ -3,7 +3,7 @@
 PY ?= python
 
 .PHONY: all native test test-fast bench dryrun parity quality_selftrain \
-        headline robustness scaling capacity perceptual polish attackaware \
+        headline robustness scaling capacity perceptual polish attackaware report \
         pruning clean
 
 all: native
@@ -80,6 +80,11 @@ attackaware:
 
 pruning:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study pruning
+
+# Render every BASELINE.md quality table from the measured study records
+# (no TPU needed --- a mechanical markdown render of result/study_*.jsonl).
+report:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.report
 
 clean:
 	$(MAKE) -C native clean
