@@ -78,6 +78,43 @@ def _std_rows(recs, label=lambda r: r["tag"]):
                          "exact match [95% CI]", "wall"])
 
 
+def _baseline_row(name: str, rec, baselines):
+    """Match an A/B study row to its baseline row.
+
+    polish/pruning rows pair with the same operating point in
+    study_headline (tag minus the variant suffix); attackaware rows pair
+    with the same attack in study_robustness (tag minus '_aware')."""
+    if not baselines:
+        return None
+    tag = rec["tag"]
+    if name == "attackaware" and tag.endswith("_aware"):
+        return baselines.get(tag[: -len("_aware")])
+    base = tag
+    for suffix in ("_polish2_soft", "_polish2_m5", "_polish2",
+                   "_prune20to5", "_n40prune8"):
+        if base.endswith(suffix):
+            return baselines.get(base[: -len(suffix)])
+    return None
+
+
+def _ab_rows(name: str, recs):
+    src = "robustness" if name == "attackaware" else "headline"
+    baselines = {r["tag"]: r for r in (_load(src) or [])}
+    rows = []
+    for r in sorted(recs, key=lambda r: r["tag"]):
+        b = _baseline_row(name, r, baselines)
+        delta = (f"{r['mean_bit_acc'] - b['mean_bit_acc']:+.4f} / "
+                 f"{r['exact_match_k'] - b['exact_match_k']:+d} exact"
+                 if b else "(no baseline row)")
+        rows.append([r["tag"], _acc_cell(r), _exact_cell(r), delta,
+                     r.get("chain_steps_per_sample", ""),
+                     f"{r.get('wall_s', 0):.0f}s"])
+    return _table(rows, ["point", "mean bit acc [95% CI]",
+                         "exact match [95% CI]",
+                         f"delta vs {src} (bit acc / exact)",
+                         "chain-steps/sample", "wall"])
+
+
 def render(name: str, recs) -> str:
     title = f"## study_{name} ({len(recs)} points)"
     if name == "capacity":
@@ -104,15 +141,8 @@ def render(name: str, recs) -> str:
             rows, ["model (px/width/steps)", "sigma", "bit acc",
                    "key-band sigma med", "content sigma med",
                    "bit-vs-sigma Spearman"])
-    if name == "pruning":
-        rows = []
-        for r in sorted(recs, key=lambda r: r["tag"]):
-            rows.append([r["tag"], _acc_cell(r), _exact_cell(r),
-                         r.get("chain_steps_per_sample", ""),
-                         f"{r.get('wall_s', 0):.0f}s"])
-        return title + "\n" + _table(
-            rows, ["point", "mean bit acc [95% CI]", "exact match [95% CI]",
-                   "chain-steps/sample", "wall"])
+    if name in ("pruning", "polish", "attackaware"):
+        return title + "\n" + _ab_rows(name, recs)
     return title + "\n" + _std_rows(recs)
 
 

@@ -52,6 +52,22 @@ def test_report_scaling_columns(tmp_path):
     assert "key-band sigma med" in out.stdout
 
 
+def test_report_ab_join_against_baseline(tmp_path):
+    """polish/pruning rows render a delta column against the matching
+    headline row; attackaware joins study_robustness by attack."""
+    (tmp_path / "result").mkdir()
+    with open(tmp_path / "result" / "study_headline.json.jsonl", "w") as f:
+        f.write(json.dumps(REC) + "\n")
+    with open(tmp_path / "result" / "study_polish.json.jsonl", "w") as f:
+        f.write(json.dumps({**REC, "tag": REC["tag"] + "_polish2_soft",
+                            "mean_bit_acc": 0.9587,
+                            "exact_match_k": 12}) + "\n")
+    out = _run(tmp_path, "polish")
+    assert out.returncode == 0, out.stderr
+    assert "+0.0400 / +2 exact" in out.stdout
+    assert "delta vs headline" in out.stdout
+
+
 def test_report_missing_study_errors(tmp_path):
     (tmp_path / "result").mkdir()
     out = _run(tmp_path, "headline")
