@@ -260,11 +260,13 @@ def synthesize_mixed(
     """Style-mixing synthesis: content style for the first ``inject_index``
     layers, fingerprinted style for the rest.  The reference carries this
     switch (``style_mixing``, src/generator.py:92-95, default off) with
-    inject_index = num_block - 1; sg2-only."""
+    inject_index = num_block - 1, and num_block = log_size*2 - 2
+    (src/generator.py:45) equals n_latent (src/model.py:475) --- so the
+    default puts the fingerprinted style in ONLY the last slot."""
     if pipe.mcfg.model != "sg2":
         raise ValueError("style mixing is an sg2 feature")
     if inject_index is None:
-        inject_index = pipe.mcfg.n_latent - 2
+        inject_index = pipe.mcfg.n_latent - 1
     imgs, _ = sg2.generate(
         pipe.gen_params,
         [w_content, w_fingerprint],

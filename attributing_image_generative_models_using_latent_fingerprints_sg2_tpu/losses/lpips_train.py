@@ -10,7 +10,7 @@ the metric can be re-calibrated on-TPU from perceptual-judgement data.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,10 +99,12 @@ def train_lin_heads(
     steps: int = 100,
     lr: float = 1e-3,
     rng: jax.Array = None,
-) -> Dict[str, Any]:
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Fit the LPIPS linear heads (+ ranking head) on 2AFC triplets ---
     the role of dist_model's training mode.  Heads are constrained
-    non-negative (LPIPS convention) by projection after each step."""
+    non-negative (LPIPS convention) by projection after each step.
+
+    Returns ``(lpips_params_with_fitted_lin, rank_params)``."""
     import optax
 
     from . import lpips as lpips_mod

@@ -87,14 +87,21 @@ class BigGANConfig:
 
 
 def _interp_stats(stats: jax.Array, truncation: float, n_stats: int) -> jax.Array:
-    """Linear interpolation of per-truncation running stats.
+    """Per-truncation running-stat lookup, matching pytorch_pretrained_biggan's
+    BigGANBatchNorm exactly --- including its quirk.
 
-    stats: [n_stats, C]; stored at truncations linspace(0, 1, n_stats)."""
+    stats: [n_stats, C]; stored at truncations linspace(0, 1, n_stats).
+    The package computes ``coef, start = math.modf(truncation/step)`` and
+    blends ``stats[start]*coef + stats[start+1]*(1-coef)`` --- i.e. the
+    NEARER gridpoint gets the SMALLER weight (inverted vs a standard
+    lerp).  The pretrained checkpoints are used with that formula, so
+    faithful conversion means reproducing it, not fixing it."""
     pos = truncation * (n_stats - 1)
     lo = int(math.floor(pos))
-    hi = min(lo + 1, n_stats - 1)
     frac = pos - lo
-    return stats[lo] * (1.0 - frac) + stats[hi] * frac
+    if frac == 0.0 or lo >= n_stats - 1:
+        return stats[min(lo, n_stats - 1)]
+    return stats[lo] * frac + stats[lo + 1] * (1.0 - frac)
 
 
 def cond_batch_norm(

@@ -50,7 +50,7 @@ from jax import lax
 
 from ..config import ModelConfig
 from ..ops.fused_act import fused_leaky_relu
-from ..ops.upfirdn2d import make_kernel, upfirdn2d
+from ..ops.upfirdn2d import make_kernel, upfirdn2d, upsample2x
 
 Params = Dict[str, Any]
 
@@ -360,12 +360,7 @@ def to_rgb(
     y = modulated_conv2d(x, w_latent, p, demodulate=False)
     y = y + p["bias"].astype(y.dtype)
     if skip is not None:
-        k = make_kernel(blur_kernel) * 4.0
-        pp = k.shape[0] - 2
-        pad0 = (pp + 1) // 2 + 1
-        pad1 = pp // 2
-        skip = upfirdn2d(skip, k, up=2, pad=(pad0, pad1))
-        y = y + skip
+        y = y + upsample2x(skip, blur_kernel)
     return y
 
 

@@ -78,15 +78,23 @@ def _is_separable(kernel: np.ndarray) -> bool:
         return False
     if 1 in kernel.shape:
         return False  # already 1-D; nothing to split
+    # f32-appropriate threshold: kernels arrive as float32 outer products,
+    # so rank-1-ness only holds to ~f32 eps (the default (1,3,3,1)/16 is
+    # exactly representable, which masked this for non-stock kernels)
     s = np.linalg.svd(np.asarray(kernel, np.float64), compute_uv=False)
-    return bool(s[1] <= 1e-12 * max(s[0], 1e-30))
+    return bool(s[1] <= 1e-6 * max(s[0], 1e-30))
 
 
 def _split_separable(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """kernel = outer(ky, kx) with sign convention folded into ky."""
+    """kernel = outer(ky, kx), gain split EVENLY (sqrt(s0) per axis) so a
+    square-symmetric kernel yields ky == kx; signs normalized so blur
+    kernels (positive mass) come out positive on both axes."""
     u, s, vt = np.linalg.svd(np.asarray(kernel, np.float64))
-    ky = u[:, 0] * s[0]
-    kx = vt[0, :]
+    r = np.sqrt(s[0])
+    ky = u[:, 0] * r
+    kx = vt[0, :] * r
+    if ky.sum() < 0 and kx.sum() < 0:  # outer(-a,-b) == outer(a,b)
+        ky, kx = -ky, -kx
     return ky.astype(kernel.dtype), kx.astype(kernel.dtype)
 
 
@@ -158,6 +166,19 @@ def enable_one_pass_blur(on: bool = True) -> None:
     if bool(on) != _FORCE_ONE_PASS:
         jax.clear_caches()  # trace-time switch; see enable_pallas
     _FORCE_ONE_PASS = bool(on)
+
+
+_POLYPHASE_UPSAMPLE = False
+
+
+def enable_polyphase_upsample(on: bool = True) -> None:
+    """Route the ToRGB-skip 2x upsample through the shifted-add polyphase
+    spelling instead of the lhs-dilated conv (A/B knob; see the gate in
+    ``upfirdn2d``)."""
+    global _POLYPHASE_UPSAMPLE
+    if bool(on) != _POLYPHASE_UPSAMPLE:
+        jax.clear_caches()
+    _POLYPHASE_UPSAMPLE = bool(on)
 
 
 def pallas_enabled() -> bool:
@@ -234,11 +255,17 @@ def upfirdn2d(
         if out is not None:
             return out
 
-    # Polyphase fast path for the ToRGB-skip upsample case (up=2, 4-tap
+    # Polyphase spelling of the ToRGB-skip upsample case (up=2, 4-tap
     # separable, pad (2,1)): each output parity is a 2-tap blend of the
     # input --- pure shifted adds on the VPU, no zero-stuffed convolution.
+    # OPT-IN (enable_polyphase_upsample): an earlier gate here was dead
+    # (the pre-fix _split_separable folded the whole gain into ky, so
+    # ky == kx never held) --- every measured BASELINE.md number runs the
+    # conv lowering below, so the shifted-add spelling stays off until
+    # the A/B on real hardware says otherwise.
     if (
-        (up_y, up_x) == (2, 2)
+        _POLYPHASE_UPSAMPLE
+        and (up_y, up_x) == (2, 2)
         and (down_y, down_x) == (1, 1)
         and (pad_x0, pad_x1, pad_y0, pad_y1) == (2, 1, 2, 1)
         and kernel_np.shape == (4, 4)
@@ -246,8 +273,10 @@ def upfirdn2d(
         and _is_separable(kernel_np)
     ):
         ky, kx = _split_separable(kernel_np)
-        if np.allclose(ky, kx, atol=1e-12):
-            return _upblur2x_polyphase(x, tuple(float(v) for v in ky))
+        if np.allclose(ky, kx, atol=1e-6):
+            # taps enter the polyphase slots REVERSED (correlation with
+            # the flipped kernel); identity for palindromic kernels
+            return _upblur2x_polyphase(x, tuple(float(v) for v in ky[::-1]))
 
     # Negative pads: XLA's convolution treats negative window padding as
     # undefined on some backends (observed nondeterministic garbage on
@@ -298,7 +327,8 @@ def upfirdn2d(
 
 
 def _upblur2x_polyphase(x: jax.Array, k: Tuple[float, float, float, float]) -> jax.Array:
-    """upfirdn2d(x, outer(k,k), up=2, pad=(2,1)) via 2x2 polyphase:
+    """upfirdn2d(x, outer(q,q), up=2, pad=(2,1)) via 2x2 polyphase, where
+    ``k`` = reversed(q) (the caller flips once; correlation-with-flipped):
         out[2i]   = k0*xp[i]   + k2*xp[i+1]
         out[2i+1] = k1*xp[i+1] + k3*xp[i+2]     (xp = x zero-padded by 1)
     per axis.  Shifted adds only --- VPU-shaped, conv-free."""

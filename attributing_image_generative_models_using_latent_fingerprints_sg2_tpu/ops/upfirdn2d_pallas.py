@@ -168,10 +168,12 @@ blur4.defvjp(_blur4_fwd, _blur4_bwd)
 def _upblur4_kernel(x_hbm, o_ref, scratch, sem, *, th, w, c, k):
     """th input rows -> 2*th output rows; w input cols -> 2*w output cols.
 
-    Polyphase: with xp pre-padded by 1 on each side,
-      out[2i]   = k0*xp[i]   + k2*xp[i+1]
-      out[2i+1] = k1*xp[i+1] + k3*xp[i+2]
-    applied vertically then horizontally.
+    Polyphase: with xp pre-padded by 1 on each side and q = reversed(k)
+    (correlation with the flipped kernel, as in blur4),
+      out[2i]   = q0*xp[i]   + q2*xp[i+1]
+      out[2i+1] = q1*xp[i+1] + q3*xp[i+2]
+    applied vertically then horizontally.  ``k`` here is already the
+    reversed taps (the caller flips once).
     """
     n = pl.program_id(0)
     jt = pl.program_id(1)
@@ -196,16 +198,21 @@ def _upblur4_kernel(x_hbm, o_ref, scratch, sem, *, th, w, c, k):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 @functools.partial(jax.jit, static_argnames=("k",))
 def upblur4(x: jax.Array, k: Tuple[float, float, float, float]) -> jax.Array:
-    """upfirdn2d(x, outer(k,k), up=2, pad=(2,1)) for symmetric 4-tap k.
+    """upfirdn2d(x, outer(k,k), up=2, pad=(2,1)) for separable 4-tap k.
 
     ``k`` is the per-axis kernel *including* the per-axis gain (the ToRGB
     Upsample uses make_kernel([1,3,3,1]) * 4 => per-axis [1,3,3,1]/8*2).
+    Correct for any taps: the polyphase slots take the REVERSED taps
+    (correlation with the flipped kernel); for palindromic kernels
+    (every stock StyleGAN2 blur) the flip is the identity.
     """
     n, h, w, c = x.shape
     wp = -(-(w + 2) // 8) * 8  # align DMA slab width to sublane tiling
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + (wp - (w + 2))), (0, 0)))
     th = _tile_for_budget(h, wp * c * x.dtype.itemsize, live_factor=14)
-    kernel = functools.partial(_upblur4_kernel, th=th, w=w, c=c, k=k)
+    kernel = functools.partial(
+        _upblur4_kernel, th=th, w=w, c=c, k=tuple(reversed(k))
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
@@ -249,13 +256,17 @@ def split_symmetric_4tap(kernel_np: np.ndarray):
     if kernel_np.shape != (4, 4):
         return None
     u, s, vt = np.linalg.svd(kernel_np.astype(np.float64))
-    if s[1] > 1e-10 * max(s[0], 1e-30):
+    # f32-appropriate thresholds: kernels arrive as float32 outer
+    # products whose taps are rarely exactly representable (the default
+    # (1,3,3,1)/16 IS exact, which masked this), so rank-1-ness and
+    # symmetry only hold to ~f32 eps, not 1e-12.
+    if s[1] > 1e-6 * max(s[0], 1e-30):
         return None
     ky = u[:, 0] * np.sqrt(s[0])
     kx = vt[0, :] * np.sqrt(s[0])
-    if not np.allclose(ky, kx, atol=1e-12):
-        # only symmetric kernels (all StyleGAN2 kernels are)
-        if np.allclose(ky, -kx, atol=1e-12):
+    if not np.allclose(ky, kx, atol=1e-6):
+        # only square-symmetric kernels (all StyleGAN2 kernels are)
+        if np.allclose(ky, -kx, atol=1e-6):
             ky, kx = -ky, -kx
         else:
             return None

@@ -35,10 +35,11 @@ Kernel design (TPU-first):
 The backward has the same structure: dx = correlation of the masked
 cotangent with the spatially-flipped, io-transposed taps, so the VJP
 reuses the kernel with transformed weights.  Weight/bias cotangents are
-returned as zeros: every consumer freezes the backbone (the reference
-trains only the lin heads / ranking layer, dist_model.py:88-99, and the
-attribution solver optimizes latents only, src/main.py:56), and the
-dispatcher in losses/lpips.py only routes here when enabled.
+computed TRUE (via the XLA linearization of the conv's linear part, see
+``_bwd``); on the LPIPS hot path --- which freezes the backbone (the
+reference trains only the lin heads / ranking layer,
+dist_model.py:88-99) --- they are dead-code-eliminated under jit, so
+they cost nothing there while keeping backbone fine-tuning correct.
 """
 
 from __future__ import annotations
@@ -218,8 +219,9 @@ def conv3x3_relu(x: jax.Array, w_hwio: jax.Array, bias: jax.Array) -> jax.Array:
 
     Matches ``jax.nn.relu(lax.conv_general_dilated(...) + b)`` to float
     tolerance (bias adds in f32 here, in the activation dtype there).
-    Backward treats (w, b) as FROZEN (zero cotangent) --- see module
-    docstring.
+    Fully differentiable: dx runs through the Pallas kernel, (dw, db)
+    through the XLA linearization (DCE'd when the backbone is frozen) ---
+    see module docstring.
     """
     n, h, w, c = x.shape
     th = _tile_h(h, w, c, x.dtype.itemsize)

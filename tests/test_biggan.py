@@ -65,6 +65,13 @@ def test_stats_interpolation_endpoints():
     np.testing.assert_allclose(
         np.asarray(biggan._interp_stats(stats, 0.375, 5)), 1.5
     )  # between stats 1 and 2
+    # Asymmetric point pins the pytorch_pretrained_biggan quirk: the
+    # package blends stats[start]*coef + stats[start+1]*(1-coef), i.e.
+    # the NEARER gridpoint gets the SMALLER weight.  pos=1.25 ->
+    # 1*0.25 + 2*0.75 = 1.75 (a standard lerp would give 1.25).
+    np.testing.assert_allclose(
+        np.asarray(biggan._interp_stats(stats, 0.3125, 5)), 1.75
+    )
 
 
 def test_truncation_changes_output(params):

@@ -59,6 +59,49 @@ def test_upblur4_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+def test_upblur4_non_palindromic_kernel():
+    """Regression: the polyphase slots take REVERSED taps; with the taps
+    passed unflipped a non-palindromic kernel (1,2,3,4) produced ~50%
+    error vs the upfirdn oracle (palindromic defaults masked it)."""
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    k = make_kernel([1, 2, 3, 4]) * 4.0
+    k1 = split_symmetric_4tap(k)
+    assert k1 is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = upblur4(x, k1)
+    want = upfirdn2d(x, k, up=2, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_xla_polyphase_upsample_matches_conv_lowering():
+    """enable_polyphase_upsample routes the ToRGB-skip case through the
+    shifted-add spelling; it must equal the conv lowering for palindromic
+    AND non-palindromic separable kernels (the pre-fix gate was dead and
+    the taps unflipped)."""
+    x = jnp.asarray(RNG.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    for taps in ([1, 3, 3, 1], [1, 2, 3, 4]):
+        k = make_kernel(taps) * 4.0
+        want = upfirdn2d(x, k, up=2, pad=(2, 1))
+        routed = []
+        orig = uf._upblur2x_polyphase
+
+        def spy(xx, kk):
+            routed.append(kk)
+            return orig(xx, kk)
+
+        uf.enable_polyphase_upsample(True)
+        uf._upblur2x_polyphase = spy
+        try:
+            got = upfirdn2d(x, k, up=2, pad=(2, 1))
+        finally:
+            uf._upblur2x_polyphase = orig
+            uf.enable_polyphase_upsample(False)
+        assert routed, f"polyphase path did not fire for taps {taps}"
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_dispatcher_routes_and_matches(monkeypatch):
     """Eligible shapes (C=128, out dims sublane-aligned) MUST take the
     Pallas route --- asserted by spying on _try_pallas, so this test fails

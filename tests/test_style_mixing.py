@@ -30,6 +30,13 @@ def test_synthesize_mixed(pipe):
     d0 = np.abs(np.asarray(mixed) - np.asarray(plain_w0)).max()
     dx = np.abs(np.asarray(mixed) - np.asarray(plain_wx)).max()
     assert d0 > 1e-4 and dx > 1e-4  # genuinely a mixture
+    # the default matches the reference's inject_index = num_block - 1
+    # = n_latent - 1 (src/generator.py:45,95): only the LAST style slot
+    # carries the fingerprinted latent
+    explicit = pl.synthesize_mixed(
+        pipe, w0, wx, inject_index=MCFG.n_latent - 1
+    )
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(explicit))
     # inject at the last slot == almost entirely content style
     almost = pl.synthesize_mixed(pipe, w0, wx, inject_index=MCFG.n_latent)
     np.testing.assert_allclose(np.asarray(almost), np.asarray(plain_w0), atol=1e-5)
