@@ -879,6 +879,9 @@ def main() -> int:
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     parser.add_argument("--blur_one_pass", action="store_true",
                         help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
+    parser.add_argument("--polyphase_up", action="store_true",
+                        help="shifted-add polyphase spelling of the ToRGB-skip "
+                             "2x upsample instead of the lhs-dilated conv (A/B)")
     parser.add_argument("--gen_size", type=int, default=None,
                         help="image size override (per-preset default when unset: "
                              "generate/gen_roofline 1024, lpips/ref_cpu/biggan 256, "
@@ -928,6 +931,12 @@ def main() -> int:
         )
 
         enable_one_pass_blur(True)
+    if args.polyphase_up:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops.upfirdn2d import (
+            enable_polyphase_upsample,
+        )
+
+        enable_polyphase_upsample(True)
 
     last_err: Exception | None = None
     for attempt in range(RETRIES):
