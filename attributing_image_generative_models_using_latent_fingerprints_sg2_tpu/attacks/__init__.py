@@ -40,6 +40,8 @@ def make_attack(cfg: AttackConfig, is_train: bool = False) -> Optional[AttackFn]
     if name == "Noise":
 
         def fn(img, rng):
+            if rng is None:  # apply_attack declares rng Optional; same
+                rng = jax.random.PRNGKey(0)  # convention as Combination
             return gaussian_noise(img, rng, std=cfg.noise_sigma)
 
         return fn

@@ -60,20 +60,37 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
-    cfg = config_from_args(args)
-    apply_runtime_config(cfg)
 
     from ..checkpoints.state import AttributionRunState, load_state, save_state
 
+    prior_arrays = {}
     if args.resume:
         run_dir = args.resume
-        state, _ = load_state(run_dir)
-        if state is None:
-            print(f"[attribute] no state in {run_dir}; starting fresh there")
-            state = AttributionRunState(seed=cfg.run.seed, config=cfg.to_dict())
+        state, prior_arrays = load_state(run_dir)
+        if state is not None and state.config:
+            # The saved config is authoritative: targets and true keys
+            # are regenerated from (config, seed), so solving the tail
+            # under different flags would silently mix two different
+            # runs in one result.txt.  CLI flag validation is skipped ---
+            # only --resume/--chunk_* are honored.  (Weight-file paths
+            # --lpips_vgg/--lpips_lin/--lpips_disc are not part of the
+            # config --- re-supply them when resuming a custom-LPIPS run.)
+            from ..config import Config
+
+            cfg = Config.from_dict(state.config)
+            print(f"[attribute] resuming at sample {state.next_sample} "
+                  f"from {run_dir} with its saved config (seed "
+                  f"{cfg.run.seed}); other CLI flags are ignored")
         else:
-            print(f"[attribute] resuming at sample {state.next_sample} from {run_dir}")
+            cfg = config_from_args(args)
+            if state is None:
+                print(f"[attribute] no state in {run_dir}; starting fresh there")
+                state = AttributionRunState(seed=cfg.run.seed, config=cfg.to_dict())
+            else:
+                print(f"[attribute] resuming at sample {state.next_sample} "
+                      f"from {run_dir} (no saved config; using CLI flags)")
     else:
+        cfg = config_from_args(args)
         run_dir = save_config(
             make_run_dir(
                 cfg.run.save_dir, cfg.attack.augmentation, cfg.fingerprint.sigma, cfg.fingerprint.shift
@@ -82,8 +99,9 @@ def main(argv=None) -> int:
         )
         state = AttributionRunState(seed=cfg.run.seed, config=cfg.to_dict())
     print(f"[attribute] run dir: {run_dir}")
+    apply_runtime_config(cfg)
 
-    key = jax.random.PRNGKey(cfg.run.seed)
+    key = jax.random.PRNGKey(state.seed)
     k_build, k_gen, k_atk, k_opt = jax.random.split(key, 4)
     from ..utils import profiling as prof
 
@@ -139,6 +157,20 @@ def main(argv=None) -> int:
     bit_accs = list(state.bit_accs)
     success = state.success
     first_chunk = state.next_sample  # state.next_sample mutates in the loop
+    # per-sample arrays accumulate across chunks (and across resumes, when
+    # the prior checkpoint's rows line up with the progress cursor)
+    rec_bits: list = []
+    losses_all: list = []
+    if (
+        first_chunk > 0
+        and prior_arrays.get("recovered_bits") is not None
+        and prior_arrays["recovered_bits"].shape[0] == first_chunk
+    ):
+        rec_bits.append(prior_arrays["recovered_bits"])
+        losses_all.append(prior_arrays["losses_all"])
+    elif first_chunk > 0:
+        print("[attribute] prior per-sample arrays missing or misaligned; "
+              "attribution_arrays.npz will cover resumed samples only")
     t_solve = time.time()
     for c0 in range(state.next_sample, s_total, chunk):
         c1 = min(c0 + chunk, s_total)
@@ -163,25 +195,36 @@ def main(argv=None) -> int:
         # trace_ctx OUTSIDE device_phase: the fence (host fetch) must
         # happen before stop_trace or the async device work is truncated
         with trace_ctx, prof.device_phase("solve_chunk") as box:
+            solve_fn = None
             if mesh is not None and (c1 - c0) % mesh.shape["data"] == 0:
                 from ..parallel.solver import attribute_on_mesh
 
-                res = attribute_on_mesh(
-                    mesh, pipe.gen_params, pipe.lpips_params, pipe.basis, pipe.noise,
-                    targets[c0:c1], jax.random.fold_in(k_opt, c0),
-                    shard_model=(cfg.run.mesh_model > 1), **kw,
-                )
-            else:
-                res = attr.attribute_chunked(
-                    pipe.gen_params,
-                    pipe.lpips_params,
-                    pipe.basis,
-                    pipe.noise,
-                    targets[c0:c1],
-                    jax.random.fold_in(k_opt, c0),
-                    chunk_starts=args.chunk_starts,
-                    **kw,
-                )
+                mesh_ = mesh
+
+                def solve_fn(tgt, r, **skw):
+                    # mesh-placed solver; composes with --chunk_starts via
+                    # attribute_chunked's solve_fn hook (restart chunking
+                    # bounds memory identically on every backend).  skw is
+                    # attribute_chunked's pass-through kwargs (n_starts,
+                    # remat, dtype, ...); mcfg/acfg are bound here.
+                    return attribute_on_mesh(
+                        mesh_, pipe.gen_params, pipe.lpips_params,
+                        pipe.basis, pipe.noise, tgt, r,
+                        shard_model=(cfg.run.mesh_model > 1),
+                        mcfg=kw["mcfg"], acfg=kw["acfg"], **skw,
+                    )
+
+            res = attr.attribute_chunked(
+                pipe.gen_params,
+                pipe.lpips_params,
+                pipe.basis,
+                pipe.noise,
+                targets[c0:c1],
+                jax.random.fold_in(k_opt, c0),
+                chunk_starts=args.chunk_starts,
+                solve_fn=solve_fn,
+                **kw,
+            )
             box.append(res.loss)
         ev = attr.evaluate_attribution(res, true_bits[c0:c1])
         accs = np.asarray(ev["bit_acc"])
@@ -198,12 +241,20 @@ def main(argv=None) -> int:
         state.next_sample = c1
         state.bit_accs = bit_accs
         state.success = success
+        rec_bits.append(np.asarray(res.key_bits))
+        losses_all.append(np.asarray(res.losses_all))
+        rb = np.concatenate(rec_bits, axis=0)
+        # rows of recovered_bits/losses_all align with
+        # true_bits[first_sample : first_sample + rows] (first_sample > 0
+        # only when a resume could not recover the prior chunks' arrays)
+        first_sample = c1 - rb.shape[0]
         save_state(
             run_dir, state,
             arrays={
                 "true_bits": np.asarray(true_bits[:c1]),
-                "recovered_bits": np.asarray(res.key_bits),
-                "losses_all": np.asarray(res.losses_all),
+                "recovered_bits": rb,
+                "losses_all": np.concatenate(losses_all, axis=0),
+                "first_sample": np.asarray(first_sample),
             },
         )
 

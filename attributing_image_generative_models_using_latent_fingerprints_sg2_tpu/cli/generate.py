@@ -56,17 +56,19 @@ def main(argv=None) -> int:
     n_imgs = 0
     t0 = time.time()
     for i in range(cfg.run.sample_size):
-        k_i, k_atk = jax.random.split(jax.random.fold_in(k_run, i))
+        k_i, _ = jax.random.split(jax.random.fold_in(k_run, i))
         imgs, w0, wx, bits, _ = pl.generate_fingerprinted(pipe, k_i, cfg.run.batch_size)
         w0_imgs = pl.synthesize(pipe, w0)
-        perturbed = pl.augment(pipe, imgs, k_atk)
-
+        # NOTE: the reference also computes an attacked variant here but
+        # never stores it (generator.py:185-198) --- skipped entirely:
+        # nothing downstream consumes it, and the attack chain + its
+        # device->host fetch are pure waste in a CLI
         u8_wx = make_image(imgs)
         u8_w0 = make_image(w0_imgs)
-        u8_pert = make_image(perturbed)
         pos, neg = watermark_images(u8_wx, u8_w0)
-        store_results(run_dir, i, u8_w0, u8_wx, pos, neg)
-        del u8_pert  # perturbed variant retained for parity of compute; not stored by ref generator.py either
+        # index by the cumulative sample counter: store_results writes
+        # element j of the batch to {index+j:06d}.png
+        store_results(run_dir, n_imgs, u8_w0, u8_wx, pos, neg)
         n_imgs += imgs.shape[0]
     dt = time.time() - t0
     print(

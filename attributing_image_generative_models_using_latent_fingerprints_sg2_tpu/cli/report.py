@@ -32,19 +32,9 @@ def _load(name: str):
             return None
         with open(path) as f:
             return json.load(f)
-    with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
-    recs = []
-    for i, line in enumerate(lines):
-        try:
-            recs.append(json.loads(line))
-        except json.JSONDecodeError:
-            if i == len(lines) - 1:  # torn trailing line from a crash
-                print(f"[report] dropping torn trailing line in {path}",
-                      file=sys.stderr)
-                continue
-            raise
-    return recs
+    from ..utils.io import read_jsonl_resumable
+
+    return read_jsonl_resumable(path)
 
 
 def _ci(rec, key):

@@ -84,24 +84,11 @@ def _parser() -> argparse.ArgumentParser:
 
 
 def _load_done(jsonl_path: str) -> dict:
-    done = {}
-    if os.path.exists(jsonl_path):
-        with open(jsonl_path) as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
-        for i, line in enumerate(lines):
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                # A TPU worker hard-crash mid-append leaves a torn FINAL
-                # line; drop it (the point reruns) instead of breaking
-                # resume forever.  A torn non-final line means real
-                # corruption --- surface it.
-                if i == len(lines) - 1:
-                    print(f"[study] dropping torn trailing line in {jsonl_path}")
-                    continue
-                raise
-            done[rec["tag"]] = rec
-    return done
+    from ..utils.io import read_jsonl_resumable
+
+    if not os.path.exists(jsonl_path):
+        return {}
+    return {rec["tag"]: rec for rec in read_jsonl_resumable(jsonl_path)}
 
 
 def _run_points(args, point_specs, out_default: str) -> int:

@@ -156,3 +156,25 @@ class Config:
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        """Inverse of ``to_dict`` (e.g. the saved config in a resumable
+        run state).  JSON round-trips turn tuples into lists; coerce them
+        back --- sub-configs are jit statics and must stay hashable.
+        Unknown keys are ignored (forward compatibility)."""
+
+        def _coerce(dc_cls, sub: dict):
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            return dc_cls(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in sub.items() if k in names
+            })
+
+        return cls(
+            model=_coerce(ModelConfig, d.get("model", {})),
+            fingerprint=_coerce(FingerprintConfig, d.get("fingerprint", {})),
+            attribution=_coerce(AttributionConfig, d.get("attribution", {})),
+            attack=_coerce(AttackConfig, d.get("attack", {})),
+            run=_coerce(RunConfig, d.get("run", {})),
+        )

@@ -484,27 +484,35 @@ def attribute_chunked(
     mcfg: ModelConfig,
     acfg: AttributionConfig,
     chunk_starts: int = 0,
+    solve_fn: Optional[Callable] = None,
     **kwargs,
 ) -> AttributionResult:
     """Solve with the restart axis split into chunks of ``chunk_starts``
     (0 = all at once): bounds peak memory at large n (e.g. the full-scale
     1024px config with n=20) at zero algorithmic cost --- restarts are
     independent, so the per-sample argmin merges across chunks exactly.
+
+    ``solve_fn(targets, rng, *, n_starts=None, **kwargs)`` overrides the
+    plain single-device solver --- e.g. a mesh-placed wrapper around
+    ``parallel.solver.attribute_on_mesh`` --- so restart chunking composes
+    with any execution backend.
     """
+    if solve_fn is None:
+        def solve_fn(tgt, r, **kw):
+            return attribute(
+                gen_params, lpips_params, basis, noise, tgt, r,
+                mcfg=mcfg, acfg=acfg, **kw,
+            )
+
     n_total = acfg.n_starts
     if chunk_starts <= 0 or chunk_starts >= n_total:
-        return attribute(
-            gen_params, lpips_params, basis, noise, targets, rng,
-            mcfg=mcfg, acfg=acfg, **kwargs,
-        )
+        return solve_fn(targets, rng, **kwargs)
     best: Optional[AttributionResult] = None
     offset = 0
     for c0 in range(0, n_total, chunk_starts):
         n_c = min(chunk_starts, n_total - c0)
-        res = attribute(
-            gen_params, lpips_params, basis, noise, targets,
-            jax.random.fold_in(rng, c0),
-            mcfg=mcfg, acfg=acfg, n_starts=n_c, **kwargs,
+        res = solve_fn(
+            targets, jax.random.fold_in(rng, c0), n_starts=n_c, **kwargs
         )
         if best is None:
             best = res

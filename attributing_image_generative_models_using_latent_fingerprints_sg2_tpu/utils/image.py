@@ -51,7 +51,11 @@ def store_results(
     watermark_neg: Optional[np.ndarray] = None,
 ) -> None:
     """Write per-category PNGs, directory layout per ref src/utils.py:85-125:
-    original/ watermarked/ watermark_pos/ watermark_neg/, files {index:06d}.png."""
+    original/ watermarked/ watermark_pos/ watermark_neg/.
+
+    ``index`` is the sample index of batch element 0; element i lands in
+    ``{index+i:06d}.png`` (the reference writes one file per sample;
+    batched callers like cli/attribute.py pass whole chunks)."""
     cats = {
         "original/": original_image_w0,
         "watermarked/": original_image_wx,
@@ -64,7 +68,7 @@ def store_results(
         d = os.path.join(save_dir, sub)
         os.makedirs(d, exist_ok=True)
         for i in range(batch.shape[0]):
-            _save_png(np.asarray(batch[i]), os.path.join(d, f"{index:06d}.png"))
+            _save_png(np.asarray(batch[i]), os.path.join(d, f"{index + i:06d}.png"))
 
 
 def watermark_images(wx_img_u8: np.ndarray, w0_img_u8: np.ndarray):

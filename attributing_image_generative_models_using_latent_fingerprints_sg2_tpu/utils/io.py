@@ -47,3 +47,30 @@ def write_results(run_dir: str, bit_accs: List[float], attribution_acc: float) -
                 )
             )
     return path
+
+
+def read_jsonl_resumable(path: str) -> List[dict]:
+    """Read a crash-checkpointed jsonl file, tolerating ONE torn final
+    line (a process killed mid-append --- e.g. a TPU worker hard-crash ---
+    leaves a partial record; drop it so the writer reruns that point).
+    A malformed non-final line means real corruption and raises.
+
+    Shared by the study driver's resume (cli/study.py) and the table
+    renderer (cli/report.py) so the two can never disagree about which
+    records exist."""
+    import json
+    import sys
+
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    recs: List[dict] = []
+    for i, line in enumerate(lines):
+        try:
+            recs.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                print(f"[jsonl] dropping torn trailing line in {path}",
+                      file=sys.stderr)
+                continue
+            raise
+    return recs

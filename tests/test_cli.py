@@ -65,11 +65,26 @@ def test_attribute_cli_and_resume(tmp_path):
     st = json.load(open(os.path.join(run, "attribution_state.json")))
     assert st["next_sample"] == 2
     assert len(st["bit_accs"]) == 2
-    # resuming a finished run is a no-op that exits cleanly
-    rc2 = main(args + ["--resume", run])
+    # per-sample arrays span ALL chunks and align with true_bits
+    import numpy as np
+
+    z = np.load(os.path.join(run, "attribution_arrays.npz"))
+    assert z["recovered_bits"].shape[0] == 2  # both chunks, not just the last
+    assert z["losses_all"].shape[0] == 2
+    assert z["true_bits"].shape[0] == 2
+    assert int(z["first_sample"]) == 0
+    # result PNGs: one file PER SAMPLE (store_results used to overwrite
+    # every batch element into the same {index}.png)
+    orig = sorted(os.listdir(os.path.join(run, "original")))
+    assert orig == ["000000.png", "000001.png"]
+    # resuming a finished run is a no-op that exits cleanly --- and must
+    # restore the SAVED config/seed even when the CLI flags differ (the
+    # resumed tail would otherwise solve different targets)
+    rc2 = main(["--resume", run, "--seed", "99", "--sample_size", "7"])
     assert rc2 == 0
     st2 = json.load(open(os.path.join(run, "attribution_state.json")))
     assert st2["next_sample"] == 2 and len(st2["bit_accs"]) == 2
+    assert st2["seed"] == st["seed"]
 
 
 def test_evaluate_cli(tmp_path):

@@ -201,3 +201,39 @@ def test_data_parallel_pruned_and_aware_matches_single_device(pipe):
         np.asarray(res1.best_start), np.asarray(res8.best_start)
     )
     assert res8.losses_all.shape == (8, 2)  # survivors only
+
+
+def test_chunk_starts_composes_with_mesh(pipe):
+    """attribute_chunked's solve_fn hook (the CLI's --chunk_starts + mesh
+    composition): restart chunking through the mesh-placed solver must
+    equal the unchunked mesh solve --- restart chunks merge by per-sample
+    argmin, and the LHS init is identical because each chunk folds the
+    same rng offsets regardless of backend."""
+    imgs, _, _, bits, _ = pl.generate_fingerprinted(pipe, jax.random.PRNGKey(5), 8)
+    rng = jax.random.PRNGKey(6)
+    acfg = AttributionConfig(steps=10, n_starts=4, lr=0.2, loss="mse")
+    mesh = pm.make_mesh()
+
+    def solve_fn(tgt, r, **skw):
+        return attribute_on_mesh(
+            mesh, pipe.gen_params, None, pipe.basis, pipe.noise, tgt, r,
+            mcfg=MCFG, acfg=acfg, **skw,
+        )
+
+    chunked = attr.attribute_chunked(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs, rng,
+        mcfg=MCFG, acfg=acfg, chunk_starts=2, solve_fn=solve_fn,
+    )
+    # oracle: the same restart chunking on one device (chunk-exact merge
+    # is already proven vs the monolithic solve in test_attribution_e2e)
+    single = attr.attribute_chunked(
+        pipe.gen_params, None, pipe.basis, pipe.noise, imgs, rng,
+        mcfg=MCFG, acfg=acfg, chunk_starts=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.loss), np.asarray(single.loss), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked.key_bits), np.asarray(single.key_bits)
+    )
+    assert chunked.losses_all.shape[1] == 4  # all restart chunks merged
