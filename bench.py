@@ -100,6 +100,14 @@ def _measure_marginal(make_fn, s1: int, s2: int, fresh_args):
     # median of 3 interleaved pairs (observed ~8% run-to-run variance on
     # the shared tunnel)
     diffs = sorted(timed(fn2) - timed(fn1) for _ in range(3))
+    if diffs[1] <= 0:
+        # tunnel noise swamped the marginal; raising here rides main()'s
+        # bounded retry instead of emitting a negative throughput as the
+        # JSON record of record
+        raise RuntimeError(
+            f"non-positive marginal ({diffs}); tunnel variance exceeded "
+            f"the s2-s1 gap --- remeasure"
+        )
     return diffs[1]
 
 
@@ -167,7 +175,8 @@ def bench_attribution(
     # model counts a while-loop body once regardless of trip count, so we
     # lower the bare step program instead of diffing scan lengths.
     fl_step = _step_flops(
-        pipe, lpips_params, targets, mcfg, acfg, remat=remat
+        pipe, lpips_params, targets, mcfg, acfg, remat=remat,
+        remat_lpips=remat_lpips,
     )  # flops per program step = all `chains` chains advancing once
     peak = _peak_flops(jax)
     mfu = (
@@ -189,8 +198,12 @@ def bench_attribution(
     }
 
 
-def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
-    """XLA-counted FLOPs of one fused loss+grad+Adam step over all chains."""
+def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool,
+                remat_lpips: bool = False):
+    """XLA-counted FLOPs of one fused loss+grad+Adam step over all chains.
+
+    ``remat``/``remat_lpips`` must match the timed program so the FLOP
+    definition (including recompute work) is consistent across A/B knobs."""
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
         attribute as attr,
     )
@@ -221,7 +234,8 @@ def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
     opt_state = optimizer.init(opt_params)
     step = attr.make_attribution_step(
         pipe.gen_params, lpips_params, pipe.basis, pipe.noise, mcfg, acfg,
-        target_feats, tgt, optimizer, remat=remat, dtype=jnp.bfloat16,
+        target_feats, tgt, optimizer, remat=remat, remat_lpips=remat_lpips,
+        dtype=jnp.bfloat16,
     )
     fn = jax.jit(lambda c: step(c, None)[0])
     try:
@@ -233,7 +247,6 @@ def _step_flops(pipe, lpips_params, targets, mcfg, acfg, remat: bool):
 
 
 def bench_generate(img_size: int = 1024) -> dict:
-    import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
         FingerprintConfig,
@@ -325,7 +338,6 @@ def bench_generate(img_size: int = 1024) -> dict:
 def bench_biggan(img_size: int = 256) -> dict:
     """Fingerprinted BigGAN-deep generation (the reference's second model
     family, src/generator.py:53-64) — random-init weights, bf16."""
-    import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
         FingerprintConfig,
@@ -471,7 +483,6 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = None) -> dict:
     basis for (and post-mortem of) fused-slice kernel work.  Also reports
     XLA-counted FLOPs per k, hence per-slice achieved TFLOP/s.
     """
-    import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses import (
         lpips as lp,
@@ -556,7 +567,11 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = None) -> dict:
         except Exception:
             pass
         inc_ms = ms - prev_ms
-        inc_fl = (fl - prev_fl) if fl else None
+        # both endpoints must have counted FLOPs; after a failed k the
+        # NEXT slice's increment is also unattributable (carrying the
+        # stale prev_fl would silently charge it the skipped slice's
+        # FLOPs and inflate its TF/s / MFU)
+        inc_fl = (fl - prev_fl) if (fl is not None and prev_fl is not None) else None
         per_k.append(
             {
                 "k": k,
@@ -575,7 +590,7 @@ def bench_lpips_roofline(img_size: int = 256, chains: int = None) -> dict:
                 ),
             }
         )
-        prev_ms, prev_fl = ms, (fl or prev_fl)
+        prev_ms, prev_fl = ms, fl
 
     # fwd-only at k=5 to split forward vs backward
     make_f, _, _ = make_make(5, with_grad=False)
@@ -607,7 +622,6 @@ def bench_gen_roofline(img_size: int = 1024, batch: int = 8) -> dict:
     ~819 GB/s --- so the table shows directly whether a block sits on
     the compute roof, the bandwidth floor, or neither.
     """
-    import numpy as np
 
     from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
         FingerprintConfig,
@@ -677,7 +691,9 @@ def bench_gen_roofline(img_size: int = 1024, batch: int = 8) -> dict:
         except Exception:
             pass
         if k == 0:
-            prev_ms, prev_fl = ms, (fl or 0.0)
+            # prev_fl stays None if the base count failed: block 1's
+            # increment would otherwise absorb the 4px base cost
+            prev_ms, prev_fl = ms, fl
             continue
         # min HBM traffic of block k (bf16): read in-feature, write
         # out-feature twice (up-conv out + conv2 out), write + read skip
@@ -688,7 +704,8 @@ def bench_gen_roofline(img_size: int = 1024, batch: int = 8) -> dict:
             (res // 2) ** 2 * cin + 2 * res ** 2 * cout + 2 * res ** 2 * 3
         )
         inc_ms = ms - prev_ms
-        inc_fl = (fl - prev_fl) if fl else None
+        # require BOTH endpoints counted (see the lpips roofline note)
+        inc_fl = (fl - prev_fl) if (fl is not None and prev_fl is not None) else None
         blocks.append(
             {
                 "res": res,
@@ -708,7 +725,7 @@ def bench_gen_roofline(img_size: int = 1024, batch: int = 8) -> dict:
                 "bw_floor_ms": round(bytes_min / HBM_GBPS * 1e3, 3),
             }
         )
-        prev_ms, prev_fl = ms, (fl or prev_fl)
+        prev_ms, prev_fl = ms, fl
 
     total_ms = prev_ms
     return {
@@ -741,7 +758,6 @@ def bench_reference_cpu(img_size: int = 256, iters: int = 8) -> dict:
     """
     import importlib
 
-    import numpy as np
     import torch
     import torch.utils.cpp_extension as cppext
 
@@ -838,7 +854,10 @@ def bench_reference_cpu(img_size: int = 256, iters: int = 8) -> dict:
         "value": round(it_s, 3),
         "unit": "it/s",
         "vs_baseline": None,
-        "assumed_gpu_it_s": REF_STEPS_PER_SEC_256 if img_size == 256 else REF_STEPS_PER_SEC_1024,
+        # the GPU assumption only exists at the two anchored sizes; other
+        # sizes carry no assumed figure rather than a ~10x-wrong one
+        "assumed_gpu_it_s": {256: REF_STEPS_PER_SEC_256,
+                             1024: REF_STEPS_PER_SEC_1024}.get(img_size),
         "note": "reference Generator (CPU-fallback ops) + torchvision VGG16 "
                 "LPIPS architecture, random weights; serial loop per "
                 "src/main.py:57-70",
