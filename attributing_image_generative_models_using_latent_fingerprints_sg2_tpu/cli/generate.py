@@ -53,11 +53,30 @@ def main(argv=None) -> int:
     )
     print(f"[generate] pipeline built in {time.time()-t0:.1f}s (PCA on device)")
 
+    # data-parallel mesh over all visible devices when >1 (or --mesh_data),
+    # mirroring cli.attribute: the batch rows shard over "data" and the
+    # synthesis runs SPMD with zero collectives.  Falls back to the
+    # single-device program when the batch doesn't tile the mesh.
+    mesh = None
+    n_dev = jax.device_count()
+    if cfg.run.mesh_data > 1 or (cfg.run.mesh_data == 0 and n_dev > 1):
+        from ..parallel import mesh as pm
+        from ..parallel.solver import generate_on_mesh, place_pipeline
+
+        m = pm.make_mesh(data=cfg.run.mesh_data or 0, model=max(1, cfg.run.mesh_model))
+        if cfg.run.batch_size % m.shape["data"] == 0:
+            mesh = m
+            pipe = place_pipeline(mesh, pipe, shard_model=cfg.run.mesh_model > 1)
+            print(f"[generate] mesh: {dict(mesh.shape)} over {n_dev} devices")
+
     n_imgs = 0
     t0 = time.time()
     for i in range(cfg.run.sample_size):
         k_i, _ = jax.random.split(jax.random.fold_in(k_run, i))
-        imgs, w0, wx, bits, _ = pl.generate_fingerprinted(pipe, k_i, cfg.run.batch_size)
+        if mesh is not None:
+            imgs, w0, wx, bits, _ = generate_on_mesh(mesh, pipe, k_i, cfg.run.batch_size)
+        else:
+            imgs, w0, wx, bits, _ = pl.generate_fingerprinted(pipe, k_i, cfg.run.batch_size)
         w0_imgs = pl.synthesize(pipe, w0)
         # NOTE: the reference also computes an attacked variant here but
         # never stores it (generator.py:185-198) --- skipped entirely:

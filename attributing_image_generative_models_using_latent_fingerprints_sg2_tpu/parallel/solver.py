@@ -11,6 +11,8 @@ the communication floor of this algorithm (SURVEY.md section 2:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 
 from ..config import AttributionConfig, ModelConfig
@@ -83,3 +85,62 @@ def attribute_on_mesh(
         shard_batch(mesh, targets), rng,
         mcfg=mcfg, acfg=acfg, shard_model=shard_model, **kwargs,
     )
+
+
+def place_pipeline(mesh: Mesh, pipe, *, shard_model: bool = False):
+    """Place a ``fingerprint.pipeline.Pipeline``'s device arrays on ``mesh``.
+
+    Generator weights, fingerprint basis, fixed noise, and (if present)
+    LPIPS weights / BigGAN conditioning replicate across the mesh
+    (``shard_model=True`` channel-shards the generator over "model"
+    instead, like the attribution path).  One-time placement so a
+    generation loop pays no per-call host->device transfers.
+    """
+    gen_params = (
+        shard_generator_params(mesh, pipe.gen_params)
+        if shard_model and mesh.shape["model"] > 1
+        else replicate(mesh, pipe.gen_params)
+    )
+    return dataclasses.replace(
+        pipe,
+        gen_params=gen_params,
+        basis=replicate(mesh, pipe.basis),
+        noise=replicate(mesh, pipe.noise),
+        lpips_params=(
+            replicate(mesh, pipe.lpips_params)
+            if pipe.lpips_params is not None
+            else None
+        ),
+        class_onehot=(
+            replicate(mesh, pipe.class_onehot)
+            if pipe.class_onehot is not None
+            else None
+        ),
+    )
+
+
+def generate_on_mesh(mesh: Mesh, pipe, rng: jax.Array, batch: int):
+    """Mesh-data-parallel fingerprinted generation.
+
+    Same (imgs, w0, wx, bits, alpha) contract and RNG stream as
+    ``pipeline.generate_fingerprinted`` (ref src/generator.py:69-107),
+    but the batch's rows shard over the mesh's "data" axis so the
+    synthesis conv stack — all of the FLOPs — runs SPMD with zero
+    collectives.  The latent-space math (a few [B, 512] matmuls) is
+    computed replicated; ``pipe`` should already be placed with
+    ``place_pipeline``.
+    """
+    data = mesh.shape["data"]
+    if batch % data != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {data}")
+    from ..fingerprint import pipeline as pl
+    from ..fingerprint.embed import embed, sample_alpha, sample_key_bits
+
+    k_alpha, k_bits = jax.random.split(rng)
+    alpha = sample_alpha(k_alpha, pipe.basis, batch)
+    bits = sample_key_bits(k_bits, pipe.fpcfg.key_len, batch)
+    w0, wx = embed(pipe.basis, alpha, bits)
+    w0 = shard_batch(mesh, w0)
+    wx = shard_batch(mesh, wx)
+    imgs = pl.synthesize(pipe, wx)
+    return imgs, w0, wx, bits, alpha

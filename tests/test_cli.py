@@ -274,3 +274,26 @@ def test_train_cli_exports_loadable_ckpt(tmp_path):
     for root, _, files in os.walk(save_dir):
         results += [os.path.join(root, f) for f in files if f == "result.txt"]
     assert results, "attribute against the trained ckpt wrote no result.txt"
+
+
+def test_generate_cli_mesh_path(tmp_path, capsys):
+    """--batch_size divisible by the 8-device data axis routes generation
+    through generate_on_mesh (SPMD synthesis); artifact layout unchanged."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.generate import (
+        main,
+    )
+
+    rc = main(COMMON + [
+        "--sample_size", "1", "--batch_size", "8",
+        "--save_dir", str(tmp_path) + "/",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mesh: {'data': 8, 'model': 1}" in out
+    for root, dirs, files in os.walk(tmp_path):
+        if "sampling_config.yaml" in files:
+            pngs = sorted(os.listdir(os.path.join(root, "watermarked")))
+            assert pngs == [f"{i:06d}.png" for i in range(8)]
+            break
+    else:
+        raise AssertionError("no run dir written")

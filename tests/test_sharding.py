@@ -237,3 +237,58 @@ def test_chunk_starts_composes_with_mesh(pipe):
         np.asarray(chunked.key_bits), np.asarray(single.key_bits)
     )
     assert chunked.losses_all.shape[1] == 4  # all restart chunks merged
+
+
+def test_generate_on_mesh_matches_single_device(pipe):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.solver import (
+        generate_on_mesh,
+        place_pipeline,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    imgs1, w01, wx1, bits1, _ = pl.generate_fingerprinted(pipe, rng, 8)
+    mesh = pm.make_mesh()  # 8-way data parallel
+    placed = place_pipeline(mesh, pipe)
+    imgs8, w08, wx8, bits8, _ = generate_on_mesh(mesh, placed, rng, 8)
+
+    np.testing.assert_array_equal(np.asarray(bits1), np.asarray(bits8))
+    np.testing.assert_allclose(np.asarray(wx1), np.asarray(wx8), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(imgs1), np.asarray(imgs8), rtol=1e-4, atol=1e-4
+    )
+    # the images really live distributed over all 8 devices
+    assert len(imgs8.sharding.device_set) == 8
+    # content synthesis through the placed pipe rides the same sharding
+    w0_imgs8 = pl.synthesize(placed, w08)
+    np.testing.assert_allclose(
+        np.asarray(pl.synthesize(pipe, w01)), np.asarray(w0_imgs8),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_generate_on_mesh_model_sharded(pipe):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.solver import (
+        generate_on_mesh,
+        place_pipeline,
+    )
+
+    rng = jax.random.PRNGKey(4)
+    imgs1, _, _, _, _ = pl.generate_fingerprinted(pipe, rng, 4)
+    mesh = pm.make_mesh(model=2)  # 4x2 data x model
+    placed = place_pipeline(mesh, pipe, shard_model=True)
+    imgs, _, _, _, _ = generate_on_mesh(mesh, placed, rng, 4)
+    np.testing.assert_allclose(
+        np.asarray(imgs1), np.asarray(imgs), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_generate_on_mesh_batch_divisibility(pipe):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.solver import (
+        generate_on_mesh,
+        place_pipeline,
+    )
+
+    mesh = pm.make_mesh()
+    placed = place_pipeline(mesh, pipe)
+    with pytest.raises(ValueError, match="not divisible"):
+        generate_on_mesh(mesh, placed, jax.random.PRNGKey(0), 3)
