@@ -152,3 +152,52 @@ def attribute_multihost(
         shard_local_batch(mesh, local_targets), rng,
         mcfg=mcfg, acfg=acfg, shard_model=shard_model, **kwargs,
     )
+
+
+def generate_multihost(
+    mesh: Mesh,
+    pipe,
+    rng: jax.Array,
+    global_batch: int,
+    *,
+    shard_model: bool = False,
+):
+    """SPMD fingerprinted generation over the global mesh.
+
+    Every process passes the SAME ``rng`` and a pipeline built from the
+    same checkpoint/seed: the latent-space draw (same stream as
+    ``pipeline.generate_fingerprinted``) is recomputed host-identically
+    and is host-local numpy-cheap; each process then contributes its
+    contiguous row block (by process id, matching ``shard_local_batch``'s
+    ordering) to the global 'data'-sharded latent, and synthesis — all of
+    the FLOPs — runs SPMD with zero collectives (one boundary all-gather
+    when ``shard_model``).  Returns the ``generate_fingerprinted`` tuple:
+    imgs/w0/wx globally sharded, bits/alpha host-local full copies.
+    """
+    from ..fingerprint import pipeline as pl
+    from ..fingerprint.embed import embed, sample_alpha, sample_key_bits
+    from .solver import place_pipeline
+
+    data = mesh.shape["data"]
+    nproc = jax.process_count()
+    if global_batch % data != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data axis {data}"
+        )
+    if global_batch % nproc != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {nproc} processes"
+        )
+    placed = place_pipeline(mesh, pipe, shard_model=shard_model)
+
+    k_alpha, k_bits = jax.random.split(rng)
+    alpha = sample_alpha(k_alpha, pipe.basis, global_batch)
+    bits = sample_key_bits(k_bits, pipe.fpcfg.key_len, global_batch)
+    w0, wx = embed(pipe.basis, alpha, bits)
+
+    b_local = global_batch // nproc
+    sl = slice(jax.process_index() * b_local, (jax.process_index() + 1) * b_local)
+    wx_g = shard_local_batch(mesh, np.asarray(wx)[sl])
+    w0_g = shard_local_batch(mesh, np.asarray(w0)[sl])
+    imgs = pl.synthesize(placed, wx_g)
+    return imgs, w0_g, wx_g, bits, alpha

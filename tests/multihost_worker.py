@@ -72,7 +72,19 @@ def main() -> int:
     )
     loss = mh.process_allgather(res.loss)  # [8], identical on both hosts
     bits_rec = mh.process_allgather(res.key_bits)  # [8, 8]
-    np.savez(out_path, loss=loss, bits=bits_rec, true_bits=np.asarray(bits))
+
+    # multi-host GENERATION: same rng as the host-local
+    # generate_fingerprinted above, so the gathered global images must
+    # reproduce imgs_np and the drawn keys must match bits
+    g_imgs, _, _, g_bits, _ = mh.generate_multihost(
+        mesh, pipe, jax.random.PRNGKey(1), 8, shard_model=(mode == "tp")
+    )
+    gen_imgs = mh.process_allgather(g_imgs)
+    np.savez(
+        out_path, loss=loss, bits=bits_rec, true_bits=np.asarray(bits),
+        gen_imgs=gen_imgs, gen_bits=np.asarray(g_bits),
+        local_imgs=imgs_np,
+    )
     print(f"[p{pid}] done: loss={loss.round(4).tolist()}", flush=True)
     return 0
 

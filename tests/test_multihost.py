@@ -86,3 +86,12 @@ def test_two_process_solve_matches_single_process(tmp_path, mode):
     np.testing.assert_allclose(a["loss"], np.asarray(ref.loss), rtol=2e-2, atol=1e-4)
     agree = (a["bits"] == np.asarray(ref.key_bits)).mean()
     assert agree >= 0.9, agree
+
+    # multi-host generation: both hosts gathered identical global images,
+    # the drawn keys match the host-local draw, and the SPMD synthesis
+    # reproduces each worker's own single-process images (and this
+    # parent's, same seed) within float-reassociation tolerance
+    np.testing.assert_array_equal(a["gen_imgs"], b["gen_imgs"])
+    np.testing.assert_array_equal(a["gen_bits"], a["true_bits"])
+    np.testing.assert_allclose(a["gen_imgs"], a["local_imgs"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(a["gen_imgs"], np.asarray(imgs), rtol=1e-4, atol=1e-4)
