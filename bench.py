@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -912,6 +913,34 @@ def main() -> int:
         out = bench_reference_cpu(args.gen_size or 256)
         print(json.dumps(out))
         return 0
+
+    # Bounded backend probe BEFORE touching jax in this process: on this
+    # platform an unreachable TPU tunnel makes jax.devices() hang forever
+    # (observed multi-hour outages), which would hang the caller instead
+    # of failing.  Probe in a child with a timeout and fail fast with a
+    # diagnosable JSON line.  Opt out / tune via BENCH_TPU_PROBE_SECS
+    # (0 disables, e.g. for CPU smoke runs where init is known-good).
+    probe_secs = float(os.environ.get("BENCH_TPU_PROBE_SECS", "600"))
+    if probe_secs > 0:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=probe_secs, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "bench unavailable: jax backend init failed/hung "
+                          f"({type(e).__name__} after {probe_secs:.0f}s probe "
+                          "-- TPU tunnel down or chip held by another process)",
+                "value": 0,
+                "unit": "n/a",
+                "vs_baseline": None,
+            }))
+            return 2
 
     global jax, jnp
     import jax
