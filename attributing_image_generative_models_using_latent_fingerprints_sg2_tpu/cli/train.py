@@ -44,6 +44,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train on the sharp-feature data variant (rectangles + "
                    "stripes; measured LESS attributable than the smooth "
                    "default, see BASELINE.md)")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="train on real images from this folder (recursive; "
+                   "png decoded by the native C++ loader when built, else "
+                   "PIL) instead of the synthetic distribution; images are "
+                   "center-cropped and area-resampled to --img_size")
+    p.add_argument("--prefetch", type=int, default=4,
+                   help="host-side decode lookahead (batches) for --data_dir")
+    p.add_argument("--decode_threads", type=int, default=0,
+                   help="C++ decode threads for --data_dir (0 = hw concurrency)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=100,
                    help="steps per device dispatch (amortizes axon overhead)")
@@ -77,7 +86,21 @@ def main(argv=None) -> int:
         batch=args.batch, lr=args.lr, r1=args.r1, d_reg_every=args.d_reg_every,
         mixing=args.mixing, ema_decay=args.ema_decay, data_sharp=args.data_sharp,
     )
-    step = make_train_step(mcfg, tcfg)
+    use_folder = args.data_dir is not None
+    step = make_train_step(mcfg, tcfg, external_data=use_folder)
+
+    data_iter = None
+    if use_folder:
+        from ..training.folder import ImageFolder
+
+        dataset = ImageFolder(args.data_dir, args.img_size)
+        print(f"[train] folder data: {len(dataset)} images under "
+              f"{args.data_dir} (native decode: "
+              f"{'yes' if dataset._all_png else 'no (PIL)'})")
+        data_iter = dataset.batches(
+            args.seed, args.batch, args.steps,
+            prefetch=args.prefetch, n_threads=args.decode_threads,
+        )
 
     key = jax.random.PRNGKey(args.seed)
     k_init, k_run = jax.random.split(key)
@@ -96,6 +119,14 @@ def main(argv=None) -> int:
             return step(s, jax.random.fold_in(base_key, j))
         return lax.scan(body, state, start + jnp.arange(length))
 
+    @jax.jit
+    def run_chunk_data(state, base_key, start, reals):
+        def body(s, xs):
+            j, real = xs
+            return step(s, jax.random.fold_in(base_key, j), real)
+        return lax.scan(
+            body, state, (start + jnp.arange(reals.shape[0]), reals))
+
     # size the last chunk to steps - ci*chunk so exactly args.steps run
     # (a short tail chunk costs one extra compile, only when steps % chunk)
     n_chunks = (args.steps + chunk - 1) // chunk
@@ -103,7 +134,11 @@ def main(argv=None) -> int:
     done = 0
     for ci in range(n_chunks):
         length = min(chunk, args.steps - done)
-        state, metrics = run_chunk(state, k_run, jnp.int32(done), length)
+        if use_folder:
+            reals = np.stack([next(data_iter) for _ in range(length)])
+            state, metrics = run_chunk_data(state, k_run, jnp.int32(done), reals)
+        else:
+            state, metrics = run_chunk(state, k_run, jnp.int32(done), length)
         done += length
         if ci % max(1, args.log_every) == 0 or ci == n_chunks - 1:
             last = {k: float(np.asarray(v[-1])) for k, v in metrics.items()}

@@ -102,13 +102,24 @@ def _softplus(x):
     return jax.nn.softplus(x)
 
 
-def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
-    """Returns `step(state, key) -> (state, metrics)`; jit/scan it."""
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, external_data: bool = False):
+    """Returns `step(state, key[, real]) -> (state, metrics)`; jit/scan it.
+
+    ``external_data=False`` (default): reals are sampled inside the step
+    from the key (the self-contained synthetic distribution, data.py).
+    ``external_data=True``: the caller supplies ``real`` — a
+    [batch, S, S, 3] f32 array in [-1, 1] — per step (the image-folder
+    pipeline, folder.py); the step is otherwise identical.
+    """
     opt = _optimizer(tcfg)
 
-    def step(state: TrainState, key: jax.Array):
+    def step(state: TrainState, key: jax.Array, real: jax.Array | None = None):
         k_data, k_lat_d, k_noise_d, k_lat_g, k_noise_g = jax.random.split(key, 5)
-        real = sample_batch(k_data, tcfg.batch, mcfg.img_size, tcfg.data_sharp)
+        if external_data:
+            if real is None:
+                raise ValueError("external_data=True requires a real batch per step")
+        else:
+            real = sample_batch(k_data, tcfg.batch, mcfg.img_size, tcfg.data_sharp)
 
         # ---- D update -------------------------------------------------
         latent_d = _mixed_latent(state.g_params, k_lat_d, tcfg.batch, mcfg, tcfg.mixing)

@@ -42,6 +42,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.fpio_write_png.restype = ctypes.c_int
+        # read path may be absent in a stale .so built before the loader
+        # landed; treat it as optional so write keeps working
+        if hasattr(lib, "fpio_load_png_rgb"):
+            lib.fpio_load_png_rgb.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.fpio_load_png_rgb.restype = ctypes.c_int
+            lib.fpio_load_png_rgb_batch.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+            lib.fpio_load_png_rgb_batch.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -66,3 +83,51 @@ def write_png(path: str, arr: np.ndarray) -> None:
     )
     if rc != 0:
         raise IOError(f"fpio_write_png failed with code {rc} for {path}")
+
+
+def read_available() -> bool:
+    """True when the .so is loaded AND exposes the decode entry points."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "fpio_load_png_rgb")
+
+
+def load_png_rgb(path: str, target: int) -> np.ndarray:
+    """Decode a PNG, center-crop to square, area-resample to [target, target, 3].
+
+    The C++ side normalizes any PNG color type (palette / gray / 16-bit /
+    alpha) to RGB8 and applies the same separable box resample as the numpy
+    fallback in training/folder.py.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fpio_load_png_rgb"):
+        raise RuntimeError("native io read path not built (make -C native)")
+    out = np.empty((target, target, 3), dtype=np.uint8)
+    rc = lib.fpio_load_png_rgb(
+        path.encode(), target, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    if rc != 0:
+        raise IOError(f"fpio_load_png_rgb failed with code {rc} for {path}")
+    return out
+
+
+def load_png_rgb_batch(paths, target: int, n_threads: int = 0) -> np.ndarray:
+    """Threaded batch decode: [len(paths), target, target, 3] uint8.
+
+    ``n_threads <= 0`` uses the hardware concurrency.  One ctypes crossing
+    for the whole batch; decode runs on C++ threads outside the GIL.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fpio_load_png_rgb_batch"):
+        raise RuntimeError("native io read path not built (make -C native)")
+    paths = list(paths)
+    out = np.empty((len(paths), target, target, 3), dtype=np.uint8)
+    if not paths:
+        return out
+    buf = b"\0".join(p.encode() for p in paths) + b"\0"
+    rc = lib.fpio_load_png_rgb_batch(
+        buf, len(paths), target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(n_threads),
+    )
+    if rc != 0:
+        raise IOError(f"fpio_load_png_rgb_batch failed with code {rc}")
+    return out
