@@ -17,6 +17,7 @@ Run (quality self-proof, ~minutes on one TPU chip):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -54,12 +55,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_threads", type=int, default=0,
                    help="C++ decode threads for --data_dir (0 = hw concurrency)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel mesh width for training (0 = all "
+                   "visible devices when >1; 1 = force single-device). "
+                   "Batch tensors shard over the axis, params replicate, "
+                   "gradients psum over ICI; global-batch semantics are "
+                   "preserved, so --snapshot/--resume compose unchanged")
     p.add_argument("--chunk", type=int, default=100,
                    help="steps per device dispatch (amortizes axon overhead)")
     p.add_argument("--log_every", type=int, default=1,
                    help="log every N chunks")
     p.add_argument("--out", type=str, default="/tmp/selftrain.npz",
                    help="EMA generator export path (.npz, rosinality names)")
+    p.add_argument("--snapshot", type=str, default=None,
+                   help="crash-safe training snapshot path (.npz): the FULL "
+                   "TrainState (G, D, EMA, both Adam states) is written "
+                   "atomically at chunk boundaries; combine with --resume "
+                   "to continue a preempted run bit-for-bit")
+    p.add_argument("--snapshot_every", type=int, default=1,
+                   help="chunks between snapshot writes")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --snapshot if it exists (refuses on a "
+                   "config mismatch; no-op when absent)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
     return p
 
@@ -87,7 +104,53 @@ def main(argv=None) -> int:
         mixing=args.mixing, ema_decay=args.ema_decay, data_sharp=args.data_sharp,
     )
     use_folder = args.data_dir is not None
-    step = make_train_step(mcfg, tcfg, external_data=use_folder)
+
+    # data-parallel mesh over all visible devices when >1 (or --mesh_data),
+    # falling back to the single-device program when the batch doesn't
+    # tile the mesh (mirrors cli/generate.py's auto-engagement)
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.mesh_data > 1 or (args.mesh_data == 0 and n_dev > 1):
+        from ..parallel import mesh as pm
+
+        m = pm.make_mesh(data=args.mesh_data or 0, model=1)
+        if args.batch % m.shape["data"] == 0:
+            mesh = m
+            print(f"[train] mesh: {dict(mesh.shape)} over {n_dev} devices")
+
+    step = make_train_step(mcfg, tcfg, external_data=use_folder, mesh=mesh)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_init, k_run = jax.random.split(key)
+    t0 = time.time()
+    state = init_train_state(k_init, mcfg, tcfg)
+    print(f"[train] state initialized in {time.time()-t0:.1f}s "
+          f"({args.img_size}px, channel_max={args.channel_max})")
+
+    # run-defining meta: resuming across any of these would silently
+    # change the optimization, so the snapshot loader refuses
+    run_meta = {
+        "img_size": args.img_size, "style_dim": args.style_dim,
+        "n_mlp": args.n_mlp, "channel_max": args.channel_max,
+        "channel_multiplier": args.channel_multiplier,
+        "batch": args.batch, "lr": args.lr, "r1": args.r1,
+        "d_reg_every": args.d_reg_every, "mixing": args.mixing,
+        "ema_decay": args.ema_decay, "data_sharp": args.data_sharp,
+        "data_dir": args.data_dir, "seed": args.seed,
+    }
+    start = 0
+    if args.snapshot and args.resume and os.path.exists(args.snapshot):
+        from ..training.snapshot import check_meta, load_snapshot
+
+        state, meta = load_snapshot(args.snapshot, state)
+        check_meta(meta, run_meta)
+        start = int(meta["step"])
+        print(f"[train] resumed from {args.snapshot} at step {start}")
+
+    if mesh is not None:
+        from ..parallel.train import place_train_state
+
+        state = place_train_state(mesh, state)
 
     data_iter = None
     if use_folder:
@@ -98,16 +161,10 @@ def main(argv=None) -> int:
               f"{args.data_dir} (native decode: "
               f"{'yes' if dataset._all_png else 'no (PIL)'})")
         data_iter = dataset.batches(
-            args.seed, args.batch, args.steps,
+            args.seed, args.batch, max(0, args.steps - start),
             prefetch=args.prefetch, n_threads=args.decode_threads,
+            start=start,
         )
-
-    key = jax.random.PRNGKey(args.seed)
-    k_init, k_run = jax.random.split(key)
-    t0 = time.time()
-    state = init_train_state(k_init, mcfg, tcfg)
-    print(f"[train] state initialized in {time.time()-t0:.1f}s "
-          f"({args.img_size}px, channel_max={args.channel_max})")
 
     chunk = max(1, args.chunk)
 
@@ -129,25 +186,35 @@ def main(argv=None) -> int:
 
     # size the last chunk to steps - ci*chunk so exactly args.steps run
     # (a short tail chunk costs one extra compile, only when steps % chunk)
-    n_chunks = (args.steps + chunk - 1) // chunk
+    n_chunks = max(0, args.steps - start + chunk - 1) // chunk
     t0 = time.time()
-    done = 0
+    done = start
     for ci in range(n_chunks):
         length = min(chunk, args.steps - done)
         if use_folder:
             reals = np.stack([next(data_iter) for _ in range(length)])
+            if mesh is not None:
+                from ..parallel.train import shard_reals
+
+                reals = shard_reals(mesh, reals)
             state, metrics = run_chunk_data(state, k_run, jnp.int32(done), reals)
         else:
             state, metrics = run_chunk(state, k_run, jnp.int32(done), length)
         done += length
+        if args.snapshot and (
+                ci % max(1, args.snapshot_every) == 0 or ci == n_chunks - 1):
+            from ..training.snapshot import save_snapshot
+
+            save_snapshot(args.snapshot, state, {**run_meta, "step": done})
         if ci % max(1, args.log_every) == 0 or ci == n_chunks - 1:
             last = {k: float(np.asarray(v[-1])) for k, v in metrics.items()}
             dt = time.time() - t0
             print(f"[train] step {done}/{args.steps}  d {last['d_loss']:.3f}  "
                   f"g {last['g_loss']:.3f}  r1 {last['r1']:.3f}  "
-                  f"({done/dt:.1f} steps/s)")
+                  f"({(done-start)/dt:.1f} steps/s)")
     dt = time.time() - t0
-    print(f"[train] {done} steps in {dt:.1f}s ({done/dt:.1f} steps/s)")
+    print(f"[train] {done-start} steps in {dt:.1f}s "
+          f"({(done-start)/max(dt,1e-9):.1f} steps/s)")
 
     if args.out:
         from ..checkpoints.flat import flatten_params

@@ -122,10 +122,18 @@ class ImageFolder:
             u8 = np.stack([load_image(p, self.img_size) for p in paths])
         return _to_training_range(u8)
 
-    def schedule(self, seed: int, batch: int, steps: int) -> Iterator[np.ndarray]:
-        """Deterministic per-step index arrays; new permutation per epoch."""
+    def schedule(self, seed: int, batch: int, steps: int,
+                 start: int = 0) -> Iterator[np.ndarray]:
+        """Deterministic per-step index arrays; new permutation per epoch.
+
+        ``start`` fast-forwards the stream: the yielded arrays are steps
+        ``start .. start+steps-1`` of the (seed, batch) schedule — pure
+        index math, no decode — so a resumed run (cli/train.py --resume)
+        sees the identical image stream it would have seen uninterrupted.
+        """
         n = len(self.files)
-        epoch, pos = 0, 0
+        consumed = start * batch
+        epoch, pos = divmod(consumed, n)
         perm = np.random.default_rng(np.uint64(seed) + np.uint64(epoch)).permutation(n)
         for _ in range(steps):
             idx = np.empty(batch, dtype=np.int64)
@@ -143,7 +151,8 @@ class ImageFolder:
             yield idx
 
     def batches(self, seed: int, batch: int, steps: int,
-                prefetch: int = 2, n_threads: int = 0) -> Iterator[np.ndarray]:
+                prefetch: int = 2, n_threads: int = 0,
+                start: int = 0) -> Iterator[np.ndarray]:
         """Prefetched stream of [batch, S, S, 3] f32 training batches.
 
         A background thread decodes up to ``prefetch`` batches ahead (the
@@ -156,7 +165,7 @@ class ImageFolder:
 
         def producer():
             try:
-                for idx in self.schedule(seed, batch, steps):
+                for idx in self.schedule(seed, batch, steps, start=start):
                     if stop.is_set():
                         return
                     q.put(self.load_batch(idx, n_threads))
