@@ -102,7 +102,12 @@ def _softplus(x):
     return jax.nn.softplus(x)
 
 
-def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, external_data: bool = False):
+def make_train_step(
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    external_data: bool = False,
+    mesh=None,
+):
     """Returns `step(state, key[, real]) -> (state, metrics)`; jit/scan it.
 
     ``external_data=False`` (default): reals are sampled inside the step
@@ -110,8 +115,29 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, external_data: bool = 
     ``external_data=True``: the caller supplies ``real`` — a
     [batch, S, S, 3] f32 array in [-1, 1] — per step (the image-folder
     pipeline, folder.py); the step is otherwise identical.
+
+    ``mesh``: a ('data', ...) `jax.sharding.Mesh` for data-parallel
+    training.  Batch tensors (reals, latents, fakes) get
+    `with_sharding_constraint` on their leading axis; params stay
+    replicated, so XLA's SPMD partitioner runs both network passes
+    batch-parallel and reduces the gradients with `psum`s over ICI.
+    Semantics are unchanged — the minibatch-stddev layer and every
+    batch-mean still see the GLOBAL batch (GSPMD inserts the
+    collectives), so a mesh run optimizes the same trajectory as a
+    single-device run with the same global batch (tested to tolerance;
+    XLA CPU tiling forbids bit-exact cross-device-count comparison).
     """
     opt = _optimizer(tcfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _cb(x):
+            spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    else:
+        def _cb(x):
+            return x
 
     def step(state: TrainState, key: jax.Array, real: jax.Array | None = None):
         k_data, k_lat_d, k_noise_d, k_lat_g, k_noise_g = jax.random.split(key, 5)
@@ -120,11 +146,14 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, external_data: bool = 
                 raise ValueError("external_data=True requires a real batch per step")
         else:
             real = sample_batch(k_data, tcfg.batch, mcfg.img_size, tcfg.data_sharp)
+        real = _cb(real)
 
         # ---- D update -------------------------------------------------
-        latent_d = _mixed_latent(state.g_params, k_lat_d, tcfg.batch, mcfg, tcfg.mixing)
+        latent_d = _cb(
+            _mixed_latent(state.g_params, k_lat_d, tcfg.batch, mcfg, tcfg.mixing)
+        )
         fake_d = jax.lax.stop_gradient(
-            _synthesize(state.g_params, latent_d, mcfg, k_noise_d)
+            _cb(_synthesize(state.g_params, latent_d, mcfg, k_noise_d))
         )
         do_r1 = (state.step % tcfg.d_reg_every) == 0
 
@@ -156,8 +185,8 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, external_data: bool = 
 
         # ---- G update -------------------------------------------------
         def g_loss_fn(g_params):
-            latent = _mixed_latent(g_params, k_lat_g, tcfg.batch, mcfg, tcfg.mixing)
-            fake = _synthesize(g_params, latent, mcfg, k_noise_g)
+            latent = _cb(_mixed_latent(g_params, k_lat_g, tcfg.batch, mcfg, tcfg.mixing))
+            fake = _cb(_synthesize(g_params, latent, mcfg, k_noise_g))
             fake_logit = sg2.discriminator_apply(d_params, fake, mcfg)
             return jnp.mean(_softplus(-fake_logit))
 
