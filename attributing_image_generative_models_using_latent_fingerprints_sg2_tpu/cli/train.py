@@ -47,9 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "default, see BASELINE.md)")
     p.add_argument("--data_dir", type=str, default=None,
                    help="train on real images from this folder (recursive; "
-                   "png decoded by the native C++ loader when built, else "
-                   "PIL) instead of the synthetic distribution; images are "
-                   "center-cropped and area-resampled to --img_size")
+                   "png/jpeg decoded by the native C++ loader when built, "
+                   "else PIL) instead of the synthetic distribution; images "
+                   "are center-cropped and area-resampled to --img_size")
     p.add_argument("--prefetch", type=int, default=4,
                    help="host-side decode lookahead (batches) for --data_dir")
     p.add_argument("--decode_threads", type=int, default=0,
@@ -159,7 +159,7 @@ def main(argv=None) -> int:
         dataset = ImageFolder(args.data_dir, args.img_size)
         print(f"[train] folder data: {len(dataset)} images under "
               f"{args.data_dir} (native decode: "
-              f"{'yes' if dataset._all_png else 'no (PIL)'})")
+              f"{'yes' if dataset.native_decode else 'no (PIL)'})")
         data_iter = dataset.batches(
             args.seed, args.batch, max(0, args.steps - start),
             prefetch=args.prefetch, n_threads=args.decode_threads,

@@ -8,11 +8,13 @@ training resolution, with a double-buffered background prefetcher so the
 TPU never waits on host decode.
 
 Layout of the work:
-  - hot decode loop: native C++ (native/io.cpp `fpio_load_png_rgb_batch`,
-    libpng + a thread pool outside the GIL), one ctypes crossing per batch;
+  - hot decode loop: native C++ (native/io.cpp `fpio_load_image_rgb_batch`,
+    libpng + libjpeg with format sniffing + a thread pool outside the
+    GIL), one ctypes crossing per batch;
   - fallback: PIL decode + the numpy mirror of the same separable box
-    resample (`area_resample`), used for JPEGs and when the .so isn't
-    built.  The two paths agree to |diff| <= 1 uint8 step (tested).
+    resample (`area_resample`), used for BMP/WebP and when the .so isn't
+    built.  The two paths agree to |diff| <= 1 uint8 step (tested; JPEG
+    decode is pixel-identical — both sides are libjpeg).
 
 Determinism: the batch schedule is a pure function of (seed, epoch) —
 per-epoch permutations from numpy's PCG64, wrapping across epochs — so a
@@ -66,8 +68,13 @@ def _axis_matrix(s: int, t: int) -> np.ndarray:
     return m
 
 
+NATIVE_EXTENSIONS = (".png", ".jpg", ".jpeg")
+
+
 def load_image(path: str, target: int) -> np.ndarray:
-    """One image -> [target, target, 3] uint8 (native PNG path when built)."""
+    """One image -> [target, target, 3] uint8 (native PNG/JPEG when built)."""
+    if path.lower().endswith(NATIVE_EXTENSIONS) and native_io.image_read_available():
+        return native_io.load_image_rgb(path, target)
     if path.lower().endswith(".png") and native_io.read_available():
         return native_io.load_png_rgb(path, target)
     return _load_pil(path, target)
@@ -109,6 +116,16 @@ class ImageFolder:
                 f"no images with extensions {exts} under {root!r}")
         self.files = files
         self._all_png = all(f.lower().endswith(".png") for f in files)
+        self._all_native = all(
+            f.lower().endswith(NATIVE_EXTENSIONS) for f in files
+        )
+
+    @property
+    def native_decode(self) -> bool:
+        """True when batches take the one-ctypes-crossing C++ decode path."""
+        return (self._all_native and native_io.image_read_available()) or (
+            self._all_png and native_io.read_available()
+        )
 
     def __len__(self) -> int:
         return len(self.files)
@@ -116,7 +133,9 @@ class ImageFolder:
     def load_batch(self, indices: Sequence[int], n_threads: int = 0) -> np.ndarray:
         """[len(indices), S, S, 3] f32 in [-1, 1]."""
         paths = [self.files[i] for i in indices]
-        if self._all_png and native_io.read_available():
+        if self._all_native and native_io.image_read_available():
+            u8 = native_io.load_image_rgb_batch(paths, self.img_size, n_threads)
+        elif self._all_png and native_io.read_available():
             u8 = native_io.load_png_rgb_batch(paths, self.img_size, n_threads)
         else:
             u8 = np.stack([load_image(p, self.img_size) for p in paths])

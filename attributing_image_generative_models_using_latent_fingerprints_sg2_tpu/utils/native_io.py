@@ -44,21 +44,29 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fpio_write_png.restype = ctypes.c_int
         # read path may be absent in a stale .so built before the loader
         # landed; treat it as optional so write keeps working
-        if hasattr(lib, "fpio_load_png_rgb"):
-            lib.fpio_load_png_rgb.argtypes = [
+        for one, batch in (
+            ("fpio_load_png_rgb", "fpio_load_png_rgb_batch"),
+            # format-sniffing decode (PNG + JPEG); absent in older .so builds
+            ("fpio_load_image_rgb", "fpio_load_image_rgb_batch"),
+        ):
+            if not hasattr(lib, one):
+                continue
+            fn = getattr(lib, one)
+            fn.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
-            lib.fpio_load_png_rgb.restype = ctypes.c_int
-            lib.fpio_load_png_rgb_batch.argtypes = [
+            fn.restype = ctypes.c_int
+            fb = getattr(lib, batch)
+            fb.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_int,
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
-            lib.fpio_load_png_rgb_batch.restype = ctypes.c_int
+            fb.restype = ctypes.c_int
         _LIB = lib
     except OSError:
         _LIB = None
@@ -89,6 +97,12 @@ def read_available() -> bool:
     """True when the .so is loaded AND exposes the decode entry points."""
     lib = _load()
     return lib is not None and hasattr(lib, "fpio_load_png_rgb")
+
+
+def image_read_available() -> bool:
+    """True when the .so exposes the format-sniffing (PNG+JPEG) decoder."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "fpio_load_image_rgb")
 
 
 def load_png_rgb(path: str, target: int) -> np.ndarray:
@@ -130,4 +144,40 @@ def load_png_rgb_batch(paths, target: int, n_threads: int = 0) -> np.ndarray:
     )
     if rc != 0:
         raise IOError(f"fpio_load_png_rgb_batch failed with code {rc}")
+    return out
+
+
+def load_image_rgb(path: str, target: int) -> np.ndarray:
+    """Format-sniffing decode (PNG or JPEG by magic bytes) + crop/resample.
+
+    JPEGs decode through libjpeg with the default (ISLOW) IDCT — the same
+    backend PIL uses, so the two paths agree pixel-for-pixel (tested)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fpio_load_image_rgb"):
+        raise RuntimeError("native image read path not built (make -C native)")
+    out = np.empty((target, target, 3), dtype=np.uint8)
+    rc = lib.fpio_load_image_rgb(
+        path.encode(), target, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    if rc != 0:
+        raise IOError(f"fpio_load_image_rgb failed with code {rc} for {path}")
+    return out
+
+
+def load_image_rgb_batch(paths, target: int, n_threads: int = 0) -> np.ndarray:
+    """Threaded format-sniffing batch decode: [n, target, target, 3] uint8."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fpio_load_image_rgb_batch"):
+        raise RuntimeError("native image read path not built (make -C native)")
+    paths = list(paths)
+    out = np.empty((len(paths), target, target, 3), dtype=np.uint8)
+    if not paths:
+        return out
+    buf = b"\0".join(p.encode() for p in paths) + b"\0"
+    rc = lib.fpio_load_image_rgb_batch(
+        buf, len(paths), target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(n_threads),
+    )
+    if rc != 0:
+        raise IOError(f"fpio_load_image_rgb_batch failed with code {rc}")
     return out

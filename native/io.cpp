@@ -9,12 +9,18 @@
 //
 // Build: `make -C native` -> native/libfpio.so
 
+#include <cstddef>
+#include <cstdio>
+
+// jpeglib.h does not include its own dependencies; stdio/stddef must
+// come first.
+#include <jpeglib.h>
 #include <png.h>
 
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -164,6 +170,83 @@ int decode_png_rgb8(const char* path, std::vector<uint8_t>* out, int* w_out,
   return 0;
 }
 
+// libjpeg error handling: the default handler calls exit(); route fatal
+// errors through setjmp so a corrupt file returns an error code instead
+// of killing the training process.
+struct JpegErrorMgr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jb;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  std::longjmp(err->jb, 1);
+}
+
+// Decode a baseline/progressive JPEG into RGB8 (grayscale and YCbCr are
+// converted by libjpeg; CMYK is rejected).  Returns 0 on success.
+int decode_jpeg_rgb8(const char* path, std::vector<uint8_t>* out, int* w_out,
+                     int* h_out) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -2;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return -4;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return -5;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if (w <= 0 || h <= 0 || cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return -6;
+  }
+  out->resize(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row =
+        out->data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  *w_out = w;
+  *h_out = h;
+  return 0;
+}
+
+// Dispatch on the file's magic bytes (not the extension): PNG signature
+// or JPEG SOI marker.  Returns -5 for unrecognized formats.
+int decode_image_rgb8(const char* path, std::vector<uint8_t>* out, int* w_out,
+                      int* h_out) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -2;
+  uint8_t magic[8] = {0};
+  const size_t got = std::fread(magic, 1, 8, fp);
+  std::fclose(fp);
+  if (got >= 8 && !png_sig_cmp(magic, 0, 8))
+    return decode_png_rgb8(path, out, w_out, h_out);
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
+    return decode_jpeg_rgb8(path, out, w_out, h_out);
+  return -5;
+}
+
 // Separable 1-D area (box) resample taps: output index i covers input
 // span [i*s/t, (i+1)*s/t); weight of input pixel j is its overlap with the
 // span, normalized by the span length.  Precomputed once per (s, t) pair.
@@ -241,16 +324,15 @@ void crop_resample_rgb8(const uint8_t* src, int w, int h, int target,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode a PNG, center-crop to the largest square, area-resample to
-// [target, target, 3] RGB8.  `out` must hold target*target*3 bytes.
-// Returns 0 on success, negative error codes otherwise.
-int fpio_load_png_rgb(const char* path, int target, uint8_t* out) {
+using DecodeFn = int (*)(const char*, std::vector<uint8_t>*, int*, int*);
+
+int load_rgb_one(DecodeFn decode, const char* path, int target, uint8_t* out) {
   if (!path || !out || target <= 0) return -1;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  const int rc = decode_png_rgb8(path, &rgb, &w, &h);
+  const int rc = decode(path, &rgb, &w, &h);
   if (rc != 0) return rc;
   crop_resample_rgb8(rgb.data(), w, h, target, out);
   return 0;
@@ -259,8 +341,8 @@ int fpio_load_png_rgb(const char* path, int target, uint8_t* out) {
 // Threaded batch loader: n NUL-separated paths decoded into the contiguous
 // [n, target, target, 3] buffer `out`.  n_threads <= 0 uses the hardware
 // concurrency.  Returns 0, or the first error code encountered.
-int fpio_load_png_rgb_batch(const char* paths, int n, int target, uint8_t* out,
-                            int n_threads) {
+int load_rgb_batch(DecodeFn decode, const char* paths, int n, int target,
+                   uint8_t* out, int n_threads) {
   if (!paths || !out || n <= 0 || target <= 0) return -1;
   std::vector<const char*> ptrs(n);
   const char* p = paths;
@@ -281,7 +363,7 @@ int fpio_load_png_rgb_batch(const char* paths, int n, int target, uint8_t* out,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n || err.load() != 0) return;
-      const int rc = fpio_load_png_rgb(ptrs[i], target, out + i * img);
+      const int rc = load_rgb_one(decode, ptrs[i], target, out + i * img);
       if (rc != 0) {
         int expected = 0;
         err.compare_exchange_strong(expected, rc);
@@ -298,6 +380,33 @@ int fpio_load_png_rgb_batch(const char* paths, int n, int target, uint8_t* out,
     for (auto& t : pool) t.join();
   }
   return err.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a PNG, center-crop to the largest square, area-resample to
+// [target, target, 3] RGB8.  `out` must hold target*target*3 bytes.
+// Returns 0 on success, negative error codes otherwise.
+int fpio_load_png_rgb(const char* path, int target, uint8_t* out) {
+  return load_rgb_one(decode_png_rgb8, path, target, out);
+}
+
+int fpio_load_png_rgb_batch(const char* paths, int n, int target, uint8_t* out,
+                            int n_threads) {
+  return load_rgb_batch(decode_png_rgb8, paths, n, target, out, n_threads);
+}
+
+// Format-sniffing variants (PNG signature or JPEG SOI marker, not the
+// file extension); same crop/resample contract as the PNG entry points.
+int fpio_load_image_rgb(const char* path, int target, uint8_t* out) {
+  return load_rgb_one(decode_image_rgb8, path, target, out);
+}
+
+int fpio_load_image_rgb_batch(const char* paths, int n, int target,
+                              uint8_t* out, int n_threads) {
+  return load_rgb_batch(decode_image_rgb8, paths, n, target, out, n_threads);
 }
 
 }  // extern "C"

@@ -130,6 +130,109 @@ def test_native_load_missing_file_raises(tmp_path):
         native_io.load_png_rgb(str(tmp_path / "nope.png"), 8)
 
 
+needs_native_image = pytest.mark.skipif(
+    not native_io.image_read_available(),
+    reason="native image (PNG+JPEG) read path not built",
+)
+
+
+@needs_native_image
+def test_native_jpeg_matches_pil_exactly(tmp_path):
+    """Native JPEG decode == PIL decode pixel-for-pixel: both are libjpeg
+    with the default IDCT, so the decoded planes are identical and only
+    the shared crop/resample (|diff| <= 1 vs numpy) remains."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    for h, w, t, q in [(33, 47, 16, 95), (24, 24, 24, 60), (50, 31, 12, 80)]:
+        img = _rand_img(rng, h, w)
+        p = str(tmp_path / f"j_{h}x{w}_{q}.jpg")
+        Image.fromarray(img).save(p, quality=q)
+        got = native_io.load_image_rgb(p, t)
+        with Image.open(p) as im:
+            dec = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        want = area_resample(dec, t)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, f"{h}x{w} q{q} -> {t}: max diff {diff.max()}"
+
+
+@needs_native_image
+def test_native_image_sniffs_format_not_extension(tmp_path):
+    """Dispatch is by magic bytes: a PNG payload under a .jpg name decodes
+    through the PNG path (and vice versa)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    img = _rand_img(rng, 14, 14)
+    p_png_as_jpg = str(tmp_path / "really_png.jpg")
+    Image.fromarray(img).save(p_png_as_jpg, format="PNG")
+    np.testing.assert_array_equal(
+        native_io.load_image_rgb(p_png_as_jpg, 14), img
+    )
+    p_jpg_as_png = str(tmp_path / "really_jpeg.png")
+    Image.fromarray(img).save(p_jpg_as_png, format="JPEG", quality=95)
+    got = native_io.load_image_rgb(p_jpg_as_png, 14)
+    with Image.open(p_jpg_as_png) as im:
+        want = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs_native_image
+def test_native_jpeg_grayscale_and_batch(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    gray = _rand_img(rng, 12, 12)[:, :, 0]
+    pg = str(tmp_path / "g.jpg")
+    Image.fromarray(gray, mode="L").save(pg, quality=92)
+    got = native_io.load_image_rgb(pg, 12)
+    with Image.open(pg) as im:
+        want = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+    paths, want_each = [], []
+    for i in range(5):
+        img = _rand_img(rng, 20 + i, 17 + i)
+        p = str(tmp_path / (f"m{i}.jpg" if i % 2 else f"m{i}.png"))
+        Image.fromarray(img).save(p, quality=90)
+        paths.append(p)
+    batch = native_io.load_image_rgb_batch(paths, 10, n_threads=3)
+    assert batch.shape == (5, 10, 10, 3)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(batch[i], native_io.load_image_rgb(p, 10))
+
+
+@needs_native_image
+def test_native_image_rejects_unknown_format(tmp_path):
+    p = str(tmp_path / "junk.jpg")
+    with open(p, "wb") as f:
+        f.write(b"not an image at all")
+    with pytest.raises(IOError):
+        native_io.load_image_rgb(p, 8)
+
+
+@needs_native_image
+def test_folder_mixed_png_jpeg_uses_native_batch(tmp_path):
+    """A mixed png+jpg folder takes the one-crossing native batch path and
+    matches per-file native decodes."""
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    root = tmp_path / "mixed"
+    root.mkdir()
+    for i in range(4):
+        img = _rand_img(rng, 19, 23)
+        name = f"x{i}.jpg" if i % 2 else f"x{i}.png"
+        Image.fromarray(img).save(str(root / name), quality=90)
+    ds = ImageFolder(str(root), 12)
+    assert ds.native_decode and ds._all_native and not ds._all_png
+    got = ds.load_batch([0, 1, 2, 3], n_threads=2)
+    assert got.shape == (4, 12, 12, 3) and got.dtype == np.float32
+    for i, f in enumerate(ds.files):
+        want = native_io.load_image_rgb(f, 12).astype(np.float32) / 127.5 - 1.0
+        np.testing.assert_array_equal(got[i], want)
+
+
 # ---------------------------------------------------------------- dataset
 
 
