@@ -2,9 +2,9 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench dryrun parity quality_selftrain \
-        headline robustness scaling capacity perceptual polish attackaware report \
-        pruning clean
+.PHONY: all native test test-fast bench bench_dataload dryrun parity \
+        quality_selftrain headline robustness scaling capacity perceptual \
+        polish attackaware report pruning clean
 
 all: native
 
@@ -19,6 +19,9 @@ test-fast: native
 
 bench:
 	$(PY) bench.py
+
+bench_dataload: native
+	$(PY) bench.py --preset dataload
 
 dryrun:
 	JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

@@ -29,6 +29,7 @@ Presets (``python bench.py [--preset P]``):
 - ``lpips``        --- per-slice LPIPS fwd+bwd roofline (ms / GFLOP / TF/s)
 - ``gen_roofline`` --- per-resolution-block generation decomposition
 - ``ref_cpu``      --- the reference's own serial loop, CPU torch (anchor)
+- ``dataload``     --- native C++ decode pipeline vs PIL, imgs/sec (host-only)
 
 Output: ONE JSON line {metric, value, unit, vs_baseline, mfu, ...}.
 
@@ -865,12 +866,73 @@ def bench_reference_cpu(img_size: int = 256, iters: int = 8) -> dict:
     }
 
 
+def bench_dataload(img_size: int = 128, n_imgs: int = 256, reps: int = 3) -> dict:
+    """Host-side training-data decode throughput: native C++ vs PIL.
+
+    Builds a deterministic mixed png/jpeg corpus once under /tmp, then
+    times the full ImageFolder.load_batch path (decode -> center-crop ->
+    area-resample -> f32 range) through (a) the one-ctypes-crossing
+    threaded C++ loader and (b) the per-image PIL+numpy fallback.  No
+    jax / TPU is touched --- this is the host runtime that has to outrun
+    the accelerator step to keep --data_dir training input-bound-free.
+    """
+    import numpy as np
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.training import (
+        folder as fl,
+    )
+
+    src = 320
+    root = f"/tmp/bench_dataload_{src}_{n_imgs}"
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        from PIL import Image
+
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for i in range(n_imgs):
+            img = rng.integers(0, 256, size=(src, src - 40, 3), dtype=np.uint8)
+            name = f"im{i:04d}.jpg" if i % 2 else f"im{i:04d}.png"
+            Image.fromarray(img).save(os.path.join(root, name), quality=90)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = fl.ImageFolder(root, img_size)
+    idx = list(range(len(ds)))
+    native_available = ds.native_decode
+
+    def time_native():
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ds.load_batch(idx, n_threads=0)
+        return n_imgs * reps / (time.perf_counter() - t0)
+
+    def time_pil():
+        t0 = time.perf_counter()
+        out = np.stack([fl._load_pil(p, img_size) for p in ds.files])
+        fl._to_training_range(out)
+        return n_imgs / (time.perf_counter() - t0)
+
+    pil_rate = time_pil()
+    native_rate = time_native() if native_available else 0.0
+    return {
+        "metric": f"data-load imgs/s @{img_size}px (native C++ threaded decode)",
+        "value": round(native_rate, 1),
+        "unit": "imgs/s",
+        "vs_baseline": round(native_rate / pil_rate, 2) if pil_rate else None,
+        "pil_fallback_imgs_s": round(pil_rate, 1),
+        "corpus": f"{n_imgs} mixed png/jpeg {src}x{src-40}",
+        "native_available": native_available,
+        "note": "host-only preset; baseline = the PIL+numpy per-image fallback",
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--preset",
         choices=["default", "1024px", "generate", "biggan", "train", "lpips",
-                 "ref_cpu", "gen_roofline"],
+                 "ref_cpu", "gen_roofline", "dataload"],
         default="default"
     )
     parser.add_argument(
@@ -911,6 +973,12 @@ def main() -> int:
     if args.preset == "ref_cpu":
         # pure CPU-torch path: do not touch jax / the TPU at all
         out = bench_reference_cpu(args.gen_size or 256)
+        print(json.dumps(out))
+        return 0
+
+    if args.preset == "dataload":
+        # pure host path: do not touch jax / the TPU at all
+        out = bench_dataload(args.gen_size or 128)
         print(json.dumps(out))
         return 0
 
