@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from --snapshot if it exists (refuses on a "
                    "config mismatch; no-op when absent)")
+    p.add_argument("--metrics_out", type=str, default=None,
+                   help="append per-step training metrics (d_loss/g_loss/r1 "
+                   "+ chunk steps/s) to this jsonl file, one row per step; "
+                   "appends across --resume so a preempted run keeps one "
+                   "contiguous record")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
     return p
 
@@ -188,6 +193,7 @@ def main(argv=None) -> int:
     # (a short tail chunk costs one extra compile, only when steps % chunk)
     n_chunks = max(0, args.steps - start + chunk - 1) // chunk
     t0 = time.time()
+    t_chunk = t0
     done = start
     for ci in range(n_chunks):
         length = min(chunk, args.steps - done)
@@ -201,6 +207,19 @@ def main(argv=None) -> int:
         else:
             state, metrics = run_chunk(state, k_run, jnp.int32(done), length)
         done += length
+        if args.metrics_out:
+            import json
+
+            rows = {k: np.asarray(v, dtype=np.float64) for k, v in metrics.items()}
+            chunk_dt = time.time() - t_chunk
+            with open(args.metrics_out, "a") as f:
+                for j in range(length):
+                    f.write(json.dumps({
+                        "step": done - length + j + 1,
+                        **{k: float(rows[k][j]) for k in rows},
+                        "chunk_steps_per_s": round(length / max(chunk_dt, 1e-9), 2),
+                    }) + "\n")
+        t_chunk = time.time()
         if args.snapshot and (
                 ci % max(1, args.snapshot_every) == 0 or ci == n_chunks - 1):
             from ..training.snapshot import save_snapshot

@@ -154,6 +154,34 @@ def attribute_multihost(
     )
 
 
+def train_multihost_chunk_runners(
+    mesh: Mesh, mcfg: ModelConfig, tcfg, external_data: bool = False
+):
+    """SPMD GAN-training chunk runners over the global (multi-process) mesh.
+
+    The single-host mesh runners (parallel/train.py) are already SPMD
+    programs, so multi-host training is the same jitted chunk run by
+    every process: the TrainState replicates host-identically (same init
+    seed on every host), batch tensors shard over the global 'data' axis,
+    and XLA routes the gradient psums over ICI within a host and DCN
+    across hosts.  Synthetic data is key-derived, hence host-identical by
+    construction; for real data each host decodes only its own rows
+    (slice the folder schedule by process, then assemble the global chunk
+    with ``shard_local_batch(mesh, local_reals, axis=1)``).
+
+    Validated by tests/test_multihost.py: 2 processes x 4 devices track
+    the single-process 8-device trajectory step for step.
+    """
+    from .train import make_mesh_chunk_runners
+
+    nproc = max(1, jax.process_count())
+    if tcfg.batch % nproc:
+        raise ValueError(
+            f"global batch {tcfg.batch} not divisible by {nproc} processes"
+        )
+    return make_mesh_chunk_runners(mesh, mcfg, tcfg, external_data=external_data)
+
+
 def generate_multihost(
     mesh: Mesh,
     pipe,

@@ -80,10 +80,38 @@ def main() -> int:
         mesh, pipe, jax.random.PRNGKey(1), 8, shard_model=(mode == "tp")
     )
     gen_imgs = mh.process_allgather(g_imgs)
+
+    # multi-host GAN TRAINING: host-identical init, 2 SPMD steps over the
+    # global mesh; per-step metrics must agree across hosts (replicated)
+    # and with the parent's single-process run (same seeds)
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.train import (
+        place_train_state,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.training.gan import (
+        TrainConfig,
+        init_train_state,
+    )
+
+    tcfg = TrainConfig(batch=8, d_reg_every=2, ema_decay=0.9)
+    t_state = init_train_state(jax.random.PRNGKey(5), mcfg, tcfg)
+    run_chunk, _ = mh.train_multihost_chunk_runners(mesh, mcfg, tcfg)
+    t_state, t_metrics = run_chunk(
+        place_train_state(mesh, t_state), jax.random.PRNGKey(6),
+        np.int32(0), 2,
+    )
+    train_rows = {}
+    for k, v in t_metrics.items():
+        # replicated global array -> its [length] value on every host
+        # (tiled=True is required for non-fully-addressable arrays; the
+        # parent asserts both hosts saved identical rows)
+        g = np.asarray(mh.process_allgather(v))
+        assert g.shape == (2,), (k, g.shape)
+        train_rows[f"train_{k}"] = g
+
     np.savez(
         out_path, loss=loss, bits=bits_rec, true_bits=np.asarray(bits),
         gen_imgs=gen_imgs, gen_bits=np.asarray(g_bits),
-        local_imgs=imgs_np,
+        local_imgs=imgs_np, **train_rows,
     )
     print(f"[p{pid}] done: loss={loss.round(4).tolist()}", flush=True)
     return 0

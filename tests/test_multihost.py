@@ -95,3 +95,33 @@ def test_two_process_solve_matches_single_process(tmp_path, mode):
     np.testing.assert_array_equal(a["gen_bits"], a["true_bits"])
     np.testing.assert_allclose(a["gen_imgs"], a["local_imgs"], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(a["gen_imgs"], np.asarray(imgs), rtol=1e-4, atol=1e-4)
+
+    # multi-host GAN training: the 2-process SPMD trajectory tracks this
+    # parent's single-process 8-device run step for step (same seeds;
+    # tolerance for cross-partitioning float reassociation)
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel.train import (
+        make_mesh_chunk_runners,
+        place_train_state,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.training.gan import (
+        TrainConfig,
+        init_train_state,
+    )
+
+    tcfg = TrainConfig(batch=8, d_reg_every=2, ema_decay=0.9)
+    t_state = init_train_state(jax.random.PRNGKey(5), mcfg, tcfg)
+    t_mesh = make_mesh(data=8)
+    run_chunk, _ = make_mesh_chunk_runners(t_mesh, mcfg, tcfg)
+    _, t_metrics = run_chunk(
+        place_train_state(t_mesh, t_state), jax.random.PRNGKey(6),
+        np.int32(0), 2,
+    )
+    for k, v in t_metrics.items():
+        np.testing.assert_array_equal(a[f"train_{k}"], b[f"train_{k}"])
+        np.testing.assert_allclose(
+            a[f"train_{k}"], np.asarray(v), rtol=2e-2, atol=1e-3,
+            err_msg=f"multi-host training metric {k}",
+        )

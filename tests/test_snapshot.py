@@ -119,6 +119,24 @@ def test_cli_resume_config_mismatch_refused(tmp_path):
                    ["--snapshot", snap, "--resume", "--lr", "0.01"])
 
 
+def test_cli_metrics_jsonl_contiguous_across_resume(tmp_path):
+    """--metrics_out appends one row per executed step with finite values;
+    a resumed run continues the same file without duplicating steps."""
+    import json
+
+    snap = str(tmp_path / "state.npz")
+    mpath = str(tmp_path / "metrics.jsonl")
+    _run_train(tmp_path, "m1", 3,
+               ["--snapshot", snap, "--metrics_out", mpath])
+    _run_train(tmp_path, "m2", 5,
+               ["--snapshot", snap, "--resume", "--metrics_out", mpath])
+    rows = [json.loads(l) for l in open(mpath)]
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    for r in rows:
+        for k in ("d_loss", "g_loss", "r1", "chunk_steps_per_s"):
+            assert np.isfinite(r[k]), (r, k)
+
+
 def test_folder_schedule_fast_forward(tmp_path):
     """schedule(start=k) yields exactly the tail of schedule(start=0),
     including across an epoch wrap (n=5 files, batch=4)."""
