@@ -79,11 +79,24 @@ def main(argv=None) -> int:
             )
 
     buckets = tuple(int(b) for b in args.buckets.split(",") if b)
+    # data-parallel mesh over all visible devices when >1 (or --mesh_data),
+    # same auto-engage rule as cli.generate / cli.attribute; buckets must
+    # then be multiples of the data axis so every shard stays static-shape
+    mesh = None
+    n_dev = len(jax.devices())
+    if cfg.run.mesh_data > 1 or (cfg.run.mesh_data == 0 and n_dev > 1):
+        from ..parallel import mesh as pm
+
+        mesh = pm.make_mesh(
+            data=cfg.run.mesh_data or 0, model=max(1, cfg.run.mesh_model)
+        )
+        print(f"[serve] mesh: {dict(mesh.shape)}")
     engine = InferenceEngine(
         pipe,
         acfg=None if args.no_attribute else cfg.attribution,
         cfg=ServeConfig(buckets=buckets, max_wait_ms=args.max_wait_ms),
         seed=cfg.run.seed,
+        mesh=mesh,
     )
     print(f"[serve] AOT-compiling buckets {buckets} ...", flush=True)
     took = {k: round(v, 1) for k, v in engine.warmup().items()}

@@ -36,6 +36,7 @@ semantics (ref src/main.py:103-110).
 from __future__ import annotations
 
 import collections
+import contextlib
 import dataclasses
 import threading
 import time
@@ -163,9 +164,25 @@ class InferenceEngine:
         acfg: Optional[AttributionConfig] = None,
         cfg: ServeConfig = ServeConfig(),
         seed: int = 0,
+        mesh=None,
+        shard_model: bool = False,
     ):
         if not cfg.buckets or list(cfg.buckets) != sorted(set(cfg.buckets)):
             raise ValueError(f"buckets must be ascending+unique: {cfg.buckets}")
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import data_sharded, replicated
+            from ..parallel.solver import place_pipeline
+
+            data = mesh.shape["data"]
+            bad = [b for b in cfg.buckets if b % data]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by mesh data axis {data}"
+                )
+            pipe = place_pipeline(mesh, pipe, shard_model=shard_model)
+            self._data_sh = data_sharded(mesh)
+            self._repl_sh = replicated(mesh)
         self.pipe = pipe
         self.acfg = acfg
         self.cfg = cfg
@@ -223,8 +240,21 @@ class InferenceEngine:
     # ------------------------------------------------------------------ #
     # AOT compilation
     # ------------------------------------------------------------------ #
-    def _spec(self, shape, dtype):
+    def _spec(self, shape, dtype, batched: bool = True):
+        """Aval for AOT lowering; on a mesh, batch axes shard over 'data'
+        so the lowered program is the same SPMD program the parallel
+        drivers run (parallel/solver.py)."""
+        if self.mesh is not None:
+            sh = self._data_sh if batched else self._repl_sh
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
         return jax.ShapeDtypeStruct(shape, dtype)
+
+    def _place(self, arr: np.ndarray, batched: bool = True):
+        if self.mesh is None:
+            return arr
+        return jax.device_put(
+            arr, self._data_sh if batched else self._repl_sh
+        )
 
     def _compile_bucket(self, kind: str, b: int):
         """Lower + compile the (kind, bucket) program once; later calls run
@@ -232,29 +262,35 @@ class InferenceEngine:
         if (kind, b) in self._exec:
             return self._exec[(kind, b)]
         p = self.pipe
-        if kind == "generate":
-            lowered = self._gen_jit.lower(
-                p.gen_params,
-                self._spec((b,), jnp.int32),
-                self._spec((b, p.fpcfg.key_len), jnp.float32),
-                self._spec((b,), jnp.bool_),
-            )
-        elif kind == "attribute":
-            if self._attr_jit is None:
-                raise RuntimeError(
-                    "engine built without an AttributionConfig; "
-                    "attribution serving is disabled"
+        ctx = (
+            jax.sharding.set_mesh(self.mesh)
+            if self.mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            if kind == "generate":
+                lowered = self._gen_jit.lower(
+                    p.gen_params,
+                    self._spec((b,), jnp.int32),
+                    self._spec((b, p.fpcfg.key_len), jnp.float32),
+                    self._spec((b,), jnp.bool_),
                 )
-            hw = p.mcfg.img_size
-            lowered = self._attr_jit.lower(
-                p.gen_params,
-                p.lpips_params,
-                self._spec((b, hw, hw, 3), jnp.float32),
-                self._spec((2,), jnp.uint32),
-            )
-        else:  # pragma: no cover - internal
-            raise ValueError(kind)
-        self._exec[(kind, b)] = lowered.compile()
+            elif kind == "attribute":
+                if self._attr_jit is None:
+                    raise RuntimeError(
+                        "engine built without an AttributionConfig; "
+                        "attribution serving is disabled"
+                    )
+                hw = p.mcfg.img_size
+                lowered = self._attr_jit.lower(
+                    p.gen_params,
+                    p.lpips_params,
+                    self._spec((b, hw, hw, 3), jnp.float32),
+                    self._spec((2,), jnp.uint32, batched=False),
+                )
+            else:  # pragma: no cover - internal
+                raise ValueError(kind)
+            self._exec[(kind, b)] = lowered.compile()
         return self._exec[(kind, b)]
 
     def warmup(self, kinds: Optional[Sequence[str]] = None) -> Dict[str, float]:
@@ -431,7 +467,12 @@ class InferenceEngine:
             seeds[n:] = seeds[n - 1]
             bits[n:] = bits[n - 1]
             has[n:] = has[n - 1]
-            imgs, wx, out_bits = exe(p.gen_params, seeds, bits, has)
+            imgs, wx, out_bits = exe(
+                p.gen_params,
+                self._place(seeds),
+                self._place(bits),
+                self._place(has),
+            )
             imgs = np.asarray(imgs)
             wx = np.asarray(wx)
             out_bits = np.asarray(out_bits)
@@ -457,7 +498,10 @@ class InferenceEngine:
                 jax.random.PRNGKey(self.seed * 7_919 + rng_seed), np.uint32
             )
             key_bits, key_logits, loss, best = exe(
-                p.gen_params, p.lpips_params, targets, rng
+                p.gen_params,
+                p.lpips_params,
+                self._place(targets),
+                self._place(rng, batched=False),
             )
             key_bits = np.asarray(key_bits)
             key_logits = np.asarray(key_logits)

@@ -30,6 +30,8 @@ Presets (``python bench.py [--preset P]``):
 - ``gen_roofline`` --- per-resolution-block generation decomposition
 - ``ref_cpu``      --- the reference's own serial loop, CPU torch (anchor)
 - ``dataload``     --- native C++ decode pipeline vs PIL, imgs/sec (host-only)
+- ``serve``        --- serving-engine throughput under concurrent clients
+                       (micro-batching + dispatch overhead included)
 
 Output: ONE JSON line {metric, value, unit, vs_baseline, mfu, ...}.
 
@@ -927,12 +929,91 @@ def bench_dataload(img_size: int = 128, n_imgs: int = 256, reps: int = 3) -> dic
     }
 
 
+def bench_serve(img_size: int = 256, n_requests: int = 128,
+                n_clients: int = 8, bucket: int = 32) -> dict:
+    """Serving-layer throughput: concurrent clients against the
+    micro-batching engine (serving/engine.py), end-to-end from submit to
+    resolved future.
+
+    Measures what the raw ``generate`` preset deliberately excludes: host
+    queueing, batch coalescing, one XLA dispatch per bucket, and the
+    device->host image fetch.  On the tunneled axon chip the per-dispatch
+    overhead (~0.5 s, BASELINE.md timing rules) dominates, so the
+    interesting outputs are imgs/s at the measured occupancy and the
+    p50/p99 request latency; on locally-attached TPUs the dispatch term
+    shrinks ~1000x and the same engine approaches the raw synthesis rate.
+    """
+    import threading as _threading
+
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+        FingerprintConfig,
+        ModelConfig,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+        pipeline as pl,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.serving import (
+        InferenceEngine,
+        ServeConfig,
+    )
+
+    mcfg = ModelConfig(img_size=img_size)
+    fpcfg = FingerprintConfig(key_len=64, shift=448, n_pca_samples=2048)
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), mcfg, fpcfg, want_lpips=False)
+    eng = InferenceEngine(
+        pipe, acfg=None,
+        cfg=ServeConfig(buckets=(1, bucket), max_wait_ms=3.0),
+    ).start()
+    try:
+        # warm path end-to-end once (AOT already compiled; first call pays
+        # data-path setup only)
+        eng.generate(seed=0)
+
+        errs: list = []
+
+        def client(cid: int):
+            try:
+                for i in range(n_requests // n_clients):
+                    eng.generate(seed=cid * 10_000 + i, timeout=600)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            _threading.Thread(target=client, args=(c,))
+            for c in range(n_clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        st = eng.stats()["generate"]
+    finally:
+        eng.stop()
+    served = n_clients * (n_requests // n_clients)
+    rate = served / dt
+    return {
+        "metric": f"served fingerprinted imgs/sec ({img_size}px, "
+                  f"{n_clients} clients, bucket {bucket})",
+        "value": round(rate, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,  # no serving path exists in the reference
+        "occupancy": round(st["mean_batch_occupancy"], 3),
+        "batches": st["batches"],
+        "latency_ms_p50": round(st["latency_ms_p50"], 1),
+        "latency_ms_p99": round(st["latency_ms_p99"], 1),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--preset",
         choices=["default", "1024px", "generate", "biggan", "train", "lpips",
-                 "ref_cpu", "gen_roofline", "dataload"],
+                 "ref_cpu", "gen_roofline", "dataload", "serve"],
         default="default"
     )
     parser.add_argument(
@@ -1063,6 +1144,8 @@ def main() -> int:
                 out = bench_lpips_roofline(args.gen_size or 256)
             elif args.preset == "generate":
                 out = bench_generate(args.gen_size or 1024)
+            elif args.preset == "serve":
+                out = bench_serve(args.gen_size or 256)
             elif args.preset == "biggan":
                 out = bench_biggan(min(args.gen_size or 256, 256))
             elif args.preset == "train":

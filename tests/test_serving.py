@@ -131,6 +131,67 @@ def test_stats_shape(engine):
 
 
 # ---------------------------------------------------------------------- #
+# mesh serving (8 virtual devices, conftest)
+# ---------------------------------------------------------------------- #
+def test_mesh_engine_generate_matches_single_device(pipe, engine):
+    """An 8-way data-parallel engine serves the same per-seed results
+    (to XLA cross-shape tolerance) in ONE SPMD batch."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel import (
+        mesh as pm,
+    )
+
+    mesh = pm.make_mesh(model=1)
+    eng = InferenceEngine(
+        pipe, acfg=None,
+        cfg=ServeConfig(buckets=(8,), max_wait_ms=100.0), mesh=mesh,
+    ).start()
+    try:
+        futs = [eng.generate(seed=100 + i, sync=False) for i in range(8)]
+        outs = [f.result(timeout=300) for f in futs]
+        assert eng.stats()["generate"]["batches"] == 1  # one SPMD execution
+    finally:
+        eng.stop()
+    for i, out in enumerate(outs):
+        solo = engine.generate(seed=100 + i)
+        np.testing.assert_allclose(out["image"], solo["image"], atol=1e-4)
+        np.testing.assert_array_equal(out["key_bits"], solo["key_bits"])
+
+
+def test_mesh_engine_bucket_validation(pipe):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel import (
+        mesh as pm,
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceEngine(
+            pipe, cfg=ServeConfig(buckets=(1, 4)), mesh=pm.make_mesh(model=1)
+        )
+
+
+def test_mesh_engine_attribute_smoke(pipe):
+    """The solver program lowers/executes sharded through the engine."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.parallel import (
+        mesh as pm,
+    )
+
+    acfg = AttributionConfig(steps=40, n_starts=2, lr=0.2, loss="mse")
+    mesh = pm.make_mesh(model=1)
+    eng = InferenceEngine(
+        pipe, acfg=acfg,
+        cfg=ServeConfig(buckets=(8,), max_wait_ms=100.0), mesh=mesh,
+    ).start()
+    try:
+        gen = eng.generate(seed=55)
+        futs = [eng.attribute(gen["image"], sync=False) for _ in range(8)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        eng.stop()
+    for out in outs:
+        assert out["key_bits"].shape == (FPCFG.key_len,)
+        assert np.isfinite(out["loss"])
+
+
+# ---------------------------------------------------------------------- #
 # HTTP front-end
 # ---------------------------------------------------------------------- #
 def _post(url, payload):
