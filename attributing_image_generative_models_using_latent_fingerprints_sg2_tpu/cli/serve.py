@@ -43,6 +43,11 @@ def main(argv=None) -> int:
         "--no_attribute", action="store_true",
         help="serve generation only (skips compiling the solver programs)",
     )
+    parser.add_argument(
+        "--registry", type=str, default=None,
+        help="KeyRegistry JSON (cli.keys issue) enabling /v1/identify and "
+        "generate-for-user",
+    )
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
@@ -91,12 +96,20 @@ def main(argv=None) -> int:
             data=cfg.run.mesh_data or 0, model=max(1, cfg.run.mesh_model)
         )
         print(f"[serve] mesh: {dict(mesh.shape)}")
+    registry = None
+    if args.registry:
+        from ..fingerprint.keys import KeyRegistry
+
+        registry = KeyRegistry.load(args.registry)
+        print(f"[serve] registry: {len(registry)} users, "
+              f"min_distance {registry.min_distance}")
     engine = InferenceEngine(
         pipe,
         acfg=None if args.no_attribute else cfg.attribution,
         cfg=ServeConfig(buckets=buckets, max_wait_ms=args.max_wait_ms),
         seed=cfg.run.seed,
         mesh=mesh,
+        registry=registry,
     )
     print(f"[serve] AOT-compiling buckets {buckets} ...", flush=True)
     took = {k: round(v, 1) for k, v in engine.warmup().items()}

@@ -166,6 +166,7 @@ class InferenceEngine:
         seed: int = 0,
         mesh=None,
         shard_model: bool = False,
+        registry=None,
     ):
         if not cfg.buckets or list(cfg.buckets) != sorted(set(cfg.buckets)):
             raise ValueError(f"buckets must be ascending+unique: {cfg.buckets}")
@@ -185,6 +186,7 @@ class InferenceEngine:
             self._repl_sh = replicated(mesh)
         self.pipe = pipe
         self.acfg = acfg
+        self.registry = registry  # fingerprint.keys.KeyRegistry or None
         self.cfg = cfg
         self.seed = seed
         self._gen_jit = jax.jit(_build_generate_fn(pipe))
@@ -313,16 +315,29 @@ class InferenceEngine:
         self,
         seed: Optional[int] = None,
         key_bits: Optional[Sequence[int]] = None,
+        user: Optional[str] = None,
         sync: bool = True,
         timeout: Optional[float] = None,
     ):
         """Generate one fingerprinted image.
 
         ``seed=None`` draws a fresh engine-local seed.  ``key_bits`` (len
-        key_len, 0/1) plants a caller-chosen key instead of a random one.
-        Returns (or resolves to) ``{"image", "w", "key_bits", "seed"}``
-        with the image as float32 [-1,1] HWC numpy.
+        key_len, 0/1) plants a caller-chosen key instead of a random one;
+        ``user`` plants the registry key issued to that user (requires an
+        attached KeyRegistry).  Returns (or resolves to)
+        ``{"image", "w", "key_bits", "seed"}`` with the image as float32
+        [-1,1] HWC numpy.
         """
+        if user is not None:
+            if key_bits is not None:
+                raise ValueError("pass either key_bits or user, not both")
+            if self.registry is None:
+                raise RuntimeError("no KeyRegistry attached to this engine")
+            try:
+                idx = self.registry.names.index(user)
+            except ValueError:
+                raise ValueError(f"unknown user {user!r}") from None
+            key_bits = self.registry.keys[idx]
         if seed is None:
             with self._lock:
                 self._batch_counter += 1
@@ -361,6 +376,59 @@ class InferenceEngine:
             raise ValueError(f"image must be ({hw},{hw},3), got {img.shape}")
         fut = self._submit("attribute", {"image": img})
         return fut.result(timeout=timeout) if sync else fut
+
+    def identify(
+        self,
+        image: np.ndarray,
+        sync: bool = True,
+        timeout: Optional[float] = None,
+    ):
+        """Attribute the image, then decode WHICH registered user's key it
+        carries (ML decode over the registry from the solver's logits;
+        fingerprint/keys.py).  Requires ``registry`` to be set.
+
+        Returns ``{"user", "user_index", "log_likelihood", "margin_nats",
+        "hard_distance", "key_bits", "loss"}``.
+        """
+        if self.registry is None:
+            raise RuntimeError("no KeyRegistry attached to this engine")
+        reg = self.registry
+        if reg.keys.shape[1] != self.pipe.fpcfg.key_len:
+            raise RuntimeError(
+                f"registry key_len {reg.keys.shape[1]} != pipeline "
+                f"key_len {self.pipe.fpcfg.key_len}"
+            )
+        inner = self.attribute(image, sync=False)
+
+        def _finish(att: Dict[str, Any]) -> Dict[str, Any]:
+            si, ll, margin = reg.match_soft(att["key_logits"])
+            hi, hd, _ = reg.match_hard(att["key_bits"])
+            return {
+                "user": reg.names[si],
+                "user_index": si,
+                "log_likelihood": ll,
+                "margin_nats": margin,
+                "hard_match_user": reg.names[hi],
+                "hard_distance": hd,
+                "key_bits": att["key_bits"],
+                "loss": att["loss"],
+            }
+
+        if sync:
+            return _finish(inner.result(timeout=timeout))
+        out: Future = Future()
+
+        def _chain(f: Future):
+            if f.exception() is not None:
+                out.set_exception(f.exception())
+            else:
+                try:
+                    out.set_result(_finish(f.result()))
+                except Exception as e:  # noqa: BLE001
+                    out.set_exception(e)
+
+        inner.add_done_callback(_chain)
+        return out
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:

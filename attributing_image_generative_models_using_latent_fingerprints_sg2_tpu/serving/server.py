@@ -113,13 +113,17 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._generate(body)
             if self.path == "/v1/attribute":
                 return self._attribute(body)
+            if self.path == "/v1/identify":
+                return self._identify(body)
             return self._reply(404, {"error": f"unknown path {self.path}"})
         except (ValueError, RuntimeError) as e:
             return self._reply(400, {"error": str(e)})
 
     def _generate(self, body: Dict[str, Any]) -> None:
         out = self.engine.generate(
-            seed=body.get("seed"), key_bits=body.get("key_bits")
+            seed=body.get("seed"),
+            key_bits=body.get("key_bits"),
+            user=body.get("user"),
         )
         encoding = body.get("encoding", "png_b64")
         resp: Dict[str, Any] = {
@@ -144,6 +148,24 @@ class _Handler(BaseHTTPRequestHandler):
             {
                 "key_bits": out["key_bits"].tolist(),
                 "confidence": np.round(out["confidence"], 6).tolist(),
+                "loss": out["loss"],
+            },
+        )
+
+
+    def _identify(self, body: Dict[str, Any]) -> None:
+        img = _decode_image(body, self.engine.pipe.mcfg.img_size)
+        out = self.engine.identify(img)
+        self._reply(
+            200,
+            {
+                "user": out["user"],
+                "user_index": out["user_index"],
+                "log_likelihood": out["log_likelihood"],
+                "margin_nats": out["margin_nats"],
+                "hard_match_user": out["hard_match_user"],
+                "hard_distance": out["hard_distance"],
+                "key_bits": out["key_bits"].tolist(),
                 "loss": out["loss"],
             },
         )

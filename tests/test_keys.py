@@ -1,0 +1,144 @@
+"""Key registry + identification tests (fingerprint/keys.py, cli/keys.py).
+
+Pure-host logic, so these are exhaustive; the serving-integrated
+end-to-end identify (real solver -> registry decode) lives in
+tests/test_serving.py.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.keys import (
+    KeyRegistry,
+    identification_error_union_bound,
+    simulate_identification,
+)
+
+
+def test_issue_min_distance_guarantee():
+    reg = KeyRegistry.issue(50, key_len=32, min_distance=8, seed=1)
+    keys = reg.keys.astype(np.int32)
+    # all pairwise Hamming distances >= 8
+    dists = np.abs(keys[:, None, :] - keys[None, :, :]).sum(-1)
+    np.fill_diagonal(dists, 99)
+    assert dists.min() >= 8
+    assert len(reg) == 50 and len(reg.names) == 50
+
+
+def test_issue_exhaustion_raises():
+    # 2^3 = 8 codewords total; min_distance 3 packs at most 2 (repetition
+    # code) --- demanding 5 must fail loudly, not degrade the guarantee
+    with pytest.raises(RuntimeError, match="ball packing"):
+        KeyRegistry.issue(5, key_len=3, min_distance=3, max_tries_per_key=500)
+
+
+def test_issue_validation():
+    with pytest.raises(ValueError):
+        KeyRegistry.issue(4, key_len=8, min_distance=0)
+    with pytest.raises(ValueError):
+        KeyRegistry.issue(4, key_len=8, min_distance=9)
+
+
+def test_hard_match_corrects_within_half_distance():
+    reg = KeyRegistry.issue(20, key_len=32, min_distance=9, seed=2)
+    rng = np.random.default_rng(3)
+    for true_idx in range(20):
+        bits = reg.keys[true_idx].copy()
+        flip = rng.choice(32, size=4, replace=False)  # 4 <= (9-1)//2
+        bits[flip] = 1 - bits[flip]
+        idx, dist, margin = reg.match_hard(bits)
+        assert idx == true_idx
+        assert dist == 4
+        assert margin >= 1  # 9 - 2*4
+
+
+def test_soft_match_uses_confidence():
+    """ML decode recovers the truth when the flipped bits are the
+    low-confidence ones, even when hard Hamming decoding fails."""
+    reg = KeyRegistry(
+        keys=np.array([[1, 1, 1, 1, 0, 0, 0, 0],
+                       [1, 1, 1, 1, 1, 1, 0, 0]], np.int8),
+        names=["a", "b"], min_distance=2,
+    )
+    # true key = a; bits 4 and 5 read as 1 (matching b!) but with tiny
+    # confidence; confident bits all agree with both codewords
+    logits = np.array([8.0, 8.0, 8.0, 8.0, 0.1, 0.1, -8.0, -8.0])
+    hard_bits = (logits > 0).astype(np.int8)
+    hi, _, _ = reg.match_hard(hard_bits)
+    assert hi == 1  # hard decoding is fooled: observed == b exactly
+    si, ll, margin = reg.match_soft(logits)
+    # soft margin between a and b rests only on the two weak bits ---
+    # 2*0.1 nats toward b, so soft ALSO picks b but with tiny margin
+    assert si == 1 and margin < 0.25
+    # now make the weak bits lean 0 (toward a): soft must flip to a
+    logits2 = logits.copy()
+    logits2[4:6] = -0.1
+    si2, _, _ = reg.match_soft(logits2)
+    assert si2 == 0
+
+
+def test_soft_match_beats_hard_statistically():
+    """Across random trials with solver-like logits (flipped bits are
+    less confident), soft ML decoding identifies at least as well as
+    hard Hamming --- the reason the serving path decodes from logits."""
+    reg = KeyRegistry.issue(64, key_len=32, min_distance=5, seed=4)
+    out = simulate_identification(reg, p_bit=0.12, n_trials=800, seed=5)
+    assert out["soft_accuracy"] >= out["hard_accuracy"]
+    assert out["soft_accuracy"] > 0.9  # weak bits carry the flips
+
+
+def test_union_bound_sane():
+    assert identification_error_union_bound(0.0, 1000, 64, 10) == 0.0
+    b1 = identification_error_union_bound(0.01, 100, 64, 10)
+    b2 = identification_error_union_bound(0.02, 100, 64, 10)
+    assert 0.0 <= b1 < b2 <= 1.0
+    # more users = larger bound (before the clip at 1)
+    b3 = identification_error_union_bound(0.01, 1000, 64, 10)
+    assert b3 > b1
+    # simulation should beat (be below) the conservative bound
+    reg = KeyRegistry.issue(100, key_len=64, min_distance=10, seed=6)
+    sim = simulate_identification(reg, p_bit=0.02, n_trials=500, seed=7)
+    assert 1.0 - sim["hard_accuracy"] <= sim["union_bound_error"] + 0.02
+
+
+def test_registry_roundtrip(tmp_path):
+    reg = KeyRegistry.issue(10, key_len=16, min_distance=4, seed=8)
+    path = str(tmp_path / "reg.json")
+    reg.save(path)
+    back = KeyRegistry.load(path)
+    np.testing.assert_array_equal(back.keys, reg.keys)
+    assert back.names == reg.names and back.min_distance == 4
+
+
+def test_match_validation():
+    reg = KeyRegistry.issue(4, key_len=8, min_distance=1, seed=9)
+    with pytest.raises(ValueError):
+        reg.match_hard(np.zeros(5))
+    with pytest.raises(ValueError):
+        reg.match_soft(np.zeros(5))
+
+
+def test_keys_cli(tmp_path, capsys):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli import (
+        keys as keys_cli,
+    )
+
+    out = str(tmp_path / "reg.json")
+    assert keys_cli.main([
+        "issue", "--users", "20", "--key_len", "32",
+        "--min_distance", "6", "--out", out,
+    ]) == 0
+    issued = json.loads(capsys.readouterr().out)
+    assert issued["users"] == 20
+    reg = KeyRegistry.load(out)
+    assert len(reg) == 20
+
+    assert keys_cli.main([
+        "capacity", "--users", "50", "--key_len", "32",
+        "--min_distance", "6", "--p_bit", "0.03", "--trials", "300",
+    ]) == 0
+    cap = json.loads(capsys.readouterr().out)
+    assert cap["soft_accuracy"] > 0.9
+    assert 0 <= cap["union_bound_error"] <= 1

@@ -131,6 +131,38 @@ def test_stats_shape(engine):
 
 
 # ---------------------------------------------------------------------- #
+# identification (registry decode over the real solver)
+# ---------------------------------------------------------------------- #
+def test_identify_end_to_end(engine):
+    """Issue keys, generate as a registered user, identify the user back
+    through the real solve + ML decode (the paper's deployment story)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.keys import (
+        KeyRegistry,
+    )
+
+    reg = KeyRegistry.issue(8, key_len=FPCFG.key_len, min_distance=4, seed=0)
+    engine.registry = reg
+    try:
+        gen = engine.generate(seed=77, user="user_00003")
+        np.testing.assert_array_equal(gen["key_bits"], reg.keys[3])
+        out = engine.identify(gen["image"])
+        assert out["user"] == "user_00003"
+        assert out["margin_nats"] > 0
+        assert out["hard_distance"] <= 2
+        with pytest.raises(ValueError):
+            engine.generate(user="nobody")
+        with pytest.raises(ValueError):
+            engine.generate(user="user_00001", key_bits=[0] * FPCFG.key_len)
+    finally:
+        engine.registry = None
+
+
+def test_identify_requires_registry(engine):
+    with pytest.raises(RuntimeError, match="KeyRegistry"):
+        engine.identify(np.zeros((32, 32, 3), np.float32))
+
+
+# ---------------------------------------------------------------------- #
 # mesh serving (8 virtual devices, conftest)
 # ---------------------------------------------------------------------- #
 def test_mesh_engine_generate_matches_single_device(pipe, engine):
