@@ -1,0 +1,119 @@
+"""Model-level attribution: pick the generating model out of a registry
+by per-model solver loss, with open-set rejection.
+
+Two tiny random-init generators (different init seeds => disjoint
+weights, PCA bases, and noise) at the e2e test scale.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+    AttributionConfig,
+    FingerprintConfig,
+    ModelConfig,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+    pipeline as pl,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.model_attribution import (
+    ModelAttributionResult,
+    attribute_model,
+    calibrate_open_set_threshold,
+)
+
+MCFG = ModelConfig(img_size=32, channel_max=64, n_mlp=3, style_dim=64)
+FPCFG = FingerprintConfig(key_len=8, shift=56, sigma=1.0, sd_moved=1.0,
+                          n_pca_samples=2000)
+ACFG = AttributionConfig(steps=450, n_starts=4, lr=0.2, loss="mse")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return {
+        "model_a": pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG,
+                                     want_lpips=False),
+        "model_b": pl.build_pipeline(jax.random.PRNGKey(100), MCFG, FPCFG,
+                                     want_lpips=False),
+    }
+
+
+@pytest.fixture(scope="module")
+def solved(registry):
+    imgs_a, _, _, bits_a, _ = pl.generate_fingerprinted(
+        registry["model_a"], jax.random.PRNGKey(1), 2
+    )
+    imgs_b, _, _, bits_b, _ = pl.generate_fingerprinted(
+        registry["model_b"], jax.random.PRNGKey(2), 2
+    )
+    targets = np.concatenate([np.asarray(imgs_a), np.asarray(imgs_b)])
+    res = attribute_model(
+        registry, targets, jax.random.PRNGKey(3), ACFG
+    )
+    return res, np.asarray(bits_a), np.asarray(bits_b)
+
+
+def test_correct_model_chosen(solved):
+    res, _, _ = solved
+    assert isinstance(res, ModelAttributionResult)
+    np.testing.assert_array_equal(res.best_model, [0, 0, 1, 1])
+    assert res.decided.all()  # closed set default
+
+
+def test_loss_separation_is_decisive(solved):
+    """Own-model loss is orders of magnitude below cross-model loss ---
+    the statistic behind the likelihood-ratio decision."""
+    res, _, _ = solved
+    assert (res.margin > 3).all(), res.margin
+    own = res.losses[res.best_model, np.arange(4)]
+    other = res.losses[1 - res.best_model, np.arange(4)]
+    assert own.max() * 3 < other.min(), (own, other)
+
+
+def test_keys_decoded_under_chosen_model(solved):
+    res, bits_a, bits_b = solved
+    true = np.concatenate([bits_a, bits_b])
+    acc = (res.key_bits == true).mean(axis=1)
+    assert acc.mean() >= 0.85  # tiny model; exactness is the e2e suite's job
+
+
+def test_open_set_rejection(registry, solved):
+    """A target NO registered model generated is rejected by the
+    calibrated threshold while in-distribution samples survive."""
+    res, _, _ = solved
+    own = res.losses[res.best_model, np.arange(4)]
+    tau = calibrate_open_set_threshold(own, percentile=99.0, slack=2.0)
+    # out-of-registry target: a third generator's output
+    pipe_c = pl.build_pipeline(jax.random.PRNGKey(777), MCFG, FPCFG,
+                               want_lpips=False)
+    imgs_c, *_ = pl.generate_fingerprinted(pipe_c, jax.random.PRNGKey(4), 1)
+    res_c = attribute_model(
+        registry, np.asarray(imgs_c), jax.random.PRNGKey(5), ACFG,
+        open_set_threshold=tau,
+    )
+    assert not res_c.decided[0]
+    assert res_c.chosen(0) is None
+    # in-distribution re-run with the same threshold still decides
+    res2 = attribute_model(
+        registry,
+        np.asarray(
+            pl.generate_fingerprinted(registry["model_a"],
+                                      jax.random.PRNGKey(6), 1)[0]
+        ),
+        jax.random.PRNGKey(7), ACFG, open_set_threshold=tau,
+    )
+    assert res2.decided[0] and res2.chosen(0) == "model_a"
+
+
+def test_empty_registry_raises():
+    with pytest.raises(ValueError):
+        attribute_model({}, np.zeros((1, 32, 32, 3), np.float32),
+                        jax.random.PRNGKey(0), ACFG)
+
+
+def test_calibrate_validation():
+    with pytest.raises(ValueError):
+        calibrate_open_set_threshold(np.array([]))
+    tau = calibrate_open_set_threshold(np.array([1e-4, 2e-4]), slack=2.0)
+    assert tau == pytest.approx(2e-4 * 0.99 * 2.0, rel=0.05)
