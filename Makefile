@@ -84,6 +84,9 @@ attackaware:
 pruning:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study pruning
 
+identification:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study identification
+
 # Render every BASELINE.md quality table from the measured study records
 # (no TPU needed --- a mechanical markdown render of result/study_*.jsonl).
 report:

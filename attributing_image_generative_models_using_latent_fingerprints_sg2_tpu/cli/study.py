@@ -63,7 +63,8 @@ def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", choices=["headline", "robustness", "scaling",
                                    "capacity", "perceptual", "polish",
-                                   "attackaware", "pruning"])
+                                   "attackaware", "pruning",
+                                   "identification"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -368,6 +369,45 @@ def cmd_capacity(args) -> int:
     return 0
 
 
+def cmd_identification(args) -> int:
+    """Measured user identification vs registry size (eval/identification):
+    solve once at the flagship operating point, decode the planted user
+    against growing registries (soft ML vs hard Hamming), with the union
+    bound the measured per-bit error rate implies."""
+    from ..eval import study
+    from ..eval.identification import identification_point
+
+    ckpt = study.ensure_trained(
+        img_size=64, channel_max=128, train_steps=3000,
+        cache_dir=args.cache_dir,
+    )
+    pipe = study.build_study_pipeline(ckpt, img_size=64, channel_max=128)
+    rec = identification_point(
+        pipe,
+        key_len=32, sigma=6.0, min_distance=6,
+        registry_sizes=(10, 100, 1000),
+        samples=args.samples, steps=args.steps, n_starts=args.n,
+        seed=args.seed,
+        chunk_samples=args.chunk_samples or 10,
+    )
+    out = args.out or "result/study_identification.json"
+    with open(out, "w") as f:
+        json.dump([rec], f, indent=2)
+    print(f"[study] measured p_bit {rec['measured_p_bit']:.4f} "
+          f"(bit acc {rec['mean_bit_acc']:.4f})")
+    for row in rec["by_registry_size"]:
+        print(
+            f"[study] N={row['registry_size']}: soft "
+            f"{row['soft_accuracy']:.3f} "
+            f"(CI {row['soft_ci95'][0]:.2f}-{row['soft_ci95'][1]:.2f}), "
+            f"hard {row['hard_accuracy']:.3f}, "
+            f"margin {row['mean_margin_nats']:.1f} nats, "
+            f"union bound err <= {row['union_bound_error']:.3g}"
+        )
+    print(f"[study] wrote {os.path.abspath(out)}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = _parser().parse_args(argv)
     import jax
@@ -385,6 +425,7 @@ def main(argv=None) -> int:
         "polish": cmd_polish,
         "attackaware": cmd_attackaware,
         "pruning": cmd_pruning,
+        "identification": cmd_identification,
     }[args.cmd](args)
 
 

@@ -1,0 +1,146 @@
+"""Measured end-to-end user identification: solve real images, decode
+WHICH user's key they carry, sweep the registry size.
+
+Turns the bit-accuracy tables (eval/study.py) into the deployment
+number that actually matters: "with this generator and key budget, how
+many users can the provider distinguish reliably?"  One batch of solves
+is reused across the whole registry-size curve: all planted users come
+from the registry's first ``n_min`` entries, so every larger prefix
+only adds distractors --- identification accuracy vs N from a single
+solver pass.
+
+The reference has no counterpart (its accuracy is per-image exact
+match, /root/reference/src/main.py:139-148); the decoding layer is
+fingerprint/keys.py (soft ML decode from solver logits vs hard Hamming).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AttributionConfig, FingerprintConfig
+from ..fingerprint import attribute as attr
+from ..fingerprint import embed as fpe
+from ..fingerprint import pipeline as pl
+from ..fingerprint.keys import KeyRegistry, identification_error_union_bound
+from .study import wilson_ci
+
+
+def identification_point(
+    pipe: pl.Pipeline,
+    *,
+    key_len: int = 32,
+    sigma: float = 6.0,
+    shift: Optional[int] = None,
+    min_distance: int = 6,
+    registry_sizes: Sequence[int] = (10, 100, 1000),
+    samples: int = 20,
+    steps: int = 2000,
+    n_starts: int = 20,
+    seed: int = 100,
+    dtype: str = "bfloat16",
+    chunk_samples: int = 0,
+    clip_targets: bool = True,
+) -> Dict[str, Any]:
+    """Generate ``samples`` images planted with registry keys, solve them
+    once, and decode the user against every registry prefix size.
+
+    Planted users are drawn round-robin from the first
+    ``min(registry_sizes)`` users so the same solves serve every N.
+    Returns per-N soft/hard identification accuracy with Wilson CIs,
+    mean soft margins, the measured per-bit error rate, and the union
+    bound it implies at each N.
+    """
+    sizes = sorted(set(int(n) for n in registry_sizes))
+    if sizes[0] < 2:
+        raise ValueError("registry sizes must be >= 2")
+    reg = KeyRegistry.issue(
+        sizes[-1], key_len, min_distance=min_distance, seed=seed
+    )
+
+    d = pipe.mcfg.style_space_dim
+    if shift is None:
+        shift = d - key_len
+    fp = FingerprintConfig(key_len=key_len, shift=shift, sigma=sigma)
+    basis = fpe.build_basis(pipe.pca, fp)
+    acfg = AttributionConfig(steps=steps, n_starts=n_starts, loss="mse")
+
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed), 0xFACE)
+    k_a, k_opt = jax.random.split(rng)
+    users = np.arange(samples) % sizes[0]  # round-robin planted users
+    bits = jnp.asarray(reg.keys[users], jnp.float32)  # [S, K]
+    alpha = fpe.sample_alpha(k_a, basis, samples)
+    _, wx = fpe.embed(basis, alpha, bits)
+    # trained generators emit ~[-1,1] and real deployments store clipped
+    # u8 images (eval/study.py does the same); random-init TEST generators
+    # emit +-5 and clipping would push targets off their manifold, so the
+    # tiny-scale tests disable it
+    targets = pl.synthesize(pipe, wx)
+    if clip_targets:
+        targets = jnp.clip(targets, -1.0, 1.0)
+    targets = jax.lax.stop_gradient(targets)
+
+    chunk = chunk_samples or samples
+    logits_all, bits_all = [], []
+    for c0 in range(0, samples, chunk):
+        c1 = min(c0 + chunk, samples)
+        res = attr.attribute_chunked(
+            pipe.gen_params, None, basis, pipe.noise, targets[c0:c1],
+            jax.random.fold_in(k_opt, c0),
+            mcfg=pipe.mcfg, acfg=acfg, dtype=dtype,
+        )
+        logits_all.append(np.asarray(res.key_logits, np.float64))
+        bits_all.append(np.asarray(res.key_bits))
+    logits = np.concatenate(logits_all)  # [S, K]
+    dec_bits = np.concatenate(bits_all)  # [S, K]
+
+    true = reg.keys[users].astype(dec_bits.dtype)
+    p_bit = float((dec_bits != true).mean())
+
+    per_n = []
+    for n in sizes:
+        sub = KeyRegistry(
+            keys=reg.keys[:n], names=reg.names[:n],
+            min_distance=reg.min_distance,
+        )
+        soft_ok = hard_ok = 0
+        margins = []
+        for s in range(samples):
+            si, _, margin = sub.match_soft(logits[s])
+            hi, _, _ = sub.match_hard(dec_bits[s])
+            soft_ok += si == users[s]
+            hard_ok += hi == users[s]
+            margins.append(margin)
+        slo, shi = wilson_ci(soft_ok, samples)
+        per_n.append({
+            "registry_size": n,
+            "soft_accuracy": soft_ok / samples,
+            "soft_ci95": [slo, shi],
+            "hard_accuracy": hard_ok / samples,
+            "mean_margin_nats": float(np.mean(margins)),
+            "min_margin_nats": float(np.min(margins)),
+            "union_bound_error": identification_error_union_bound(
+                p_bit, n, key_len, min_distance
+            ),
+        })
+
+    return {
+        "img_size": pipe.mcfg.img_size,
+        "channel_max": pipe.mcfg.channel_max,
+        "ckpt": pipe.mcfg.ckpt,
+        "key_len": key_len,
+        "sigma": float(sigma),
+        "shift": int(shift),
+        "min_distance": min_distance,
+        "samples": samples,
+        "steps": steps,
+        "n_starts": n_starts,
+        "distinct_users": int(sizes[0]),
+        "measured_p_bit": p_bit,
+        "mean_bit_acc": 1.0 - p_bit,
+        "by_registry_size": per_n,
+    }

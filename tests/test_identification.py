@@ -1,0 +1,65 @@
+"""End-to-end identification study at CPU-test scale
+(eval/identification.py): real solves, registry decode, size sweep."""
+
+import jax
+import numpy as np
+import pytest
+
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.config import (
+    FingerprintConfig,
+    ModelConfig,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.eval.identification import (
+    identification_point,
+)
+from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint import (
+    pipeline as pl,
+)
+
+MCFG = ModelConfig(img_size=32, channel_max=64, n_mlp=3, style_dim=64)
+FPCFG = FingerprintConfig(key_len=8, shift=56, sigma=1.0, sd_moved=1.0,
+                          n_pca_samples=2000)
+
+
+@pytest.fixture(scope="module")
+def point():
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG,
+                             want_lpips=False)
+    return identification_point(
+        pipe,
+        key_len=8, sigma=1.0, shift=56, min_distance=3,
+        registry_sizes=(4, 8),
+        samples=8, steps=300, n_starts=4, seed=11,
+        dtype="float32", clip_targets=False,
+    )
+
+
+def test_record_structure(point):
+    assert point["key_len"] == 8 and point["min_distance"] == 3
+    assert point["distinct_users"] == 4
+    assert 0.0 <= point["measured_p_bit"] <= 1.0
+    sizes = [r["registry_size"] for r in point["by_registry_size"]]
+    assert sizes == [4, 8]
+    for row in point["by_registry_size"]:
+        assert 0.0 <= row["hard_accuracy"] <= 1.0
+        assert row["soft_ci95"][0] <= row["soft_accuracy"] <= row["soft_ci95"][1]
+        assert 0.0 <= row["union_bound_error"] <= 1.0
+
+
+def test_identification_works_at_test_scale(point):
+    """The solver recovers planted registry keys well enough that soft
+    decode identifies most users even among distractors."""
+    assert point["mean_bit_acc"] >= 0.8
+    by = {r["registry_size"]: r for r in point["by_registry_size"]}
+    assert by[4]["soft_accuracy"] >= 0.75
+    assert by[8]["soft_accuracy"] >= 0.625
+    # growing the registry can only keep or lower accuracy
+    assert by[8]["soft_accuracy"] <= by[4]["soft_accuracy"] + 1e-9
+
+
+def test_validation():
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG,
+                             want_lpips=False)
+    with pytest.raises(ValueError):
+        identification_point(pipe, registry_sizes=(1,), key_len=8,
+                             shift=56, samples=2, steps=2, n_starts=2)
