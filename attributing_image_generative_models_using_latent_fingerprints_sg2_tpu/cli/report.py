@@ -20,7 +20,7 @@ import sys
 
 RESULT_DIR = "result"
 STUDIES = ["headline", "robustness", "scaling", "perceptual", "polish",
-           "attackaware", "pruning", "capacity"]
+           "attackaware", "pruning", "capacity", "identification"]
 
 
 def _load(name: str):
@@ -133,6 +133,25 @@ def render(name: str, recs) -> str:
                    "bit-vs-sigma Spearman"])
     if name in ("pruning", "polish", "attackaware"):
         return title + "\n" + _ab_rows(name, recs)
+    if name == "identification":
+        rows = []
+        for r in recs:
+            head = (f"{r['img_size']}px kl{r['key_len']} s{r['sigma']:g} "
+                    f"d_min={r['min_distance']} "
+                    f"(p_bit {r['measured_p_bit']:.4f})")
+            for row in r["by_registry_size"]:
+                lo, hi = row["soft_ci95"]
+                rows.append([
+                    head, row["registry_size"],
+                    f"{row['soft_accuracy']:.3f} [{lo:.2f}, {hi:.2f}]",
+                    f"{row['hard_accuracy']:.3f}",
+                    f"{row['mean_margin_nats']:.1f}",
+                    f"{row['union_bound_error']:.3g}"])
+                head = ""
+        return title + "\n" + _table(
+            rows, ["operating point", "registry N",
+                   "soft ID acc [95% CI]", "hard ID acc",
+                   "mean margin (nats)", "union-bound err"])
     return title + "\n" + _std_rows(recs)
 
 

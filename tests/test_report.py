@@ -73,3 +73,30 @@ def test_report_missing_study_errors(tmp_path):
     out = _run(tmp_path, "headline")
     assert out.returncode == 1
     assert "no records" in out.stderr
+
+
+def test_report_identification_table(tmp_path):
+    (tmp_path / "result").mkdir()
+    rec = {
+        "img_size": 64, "key_len": 32, "sigma": 6.0, "min_distance": 6,
+        "measured_p_bit": 0.0313, "mean_bit_acc": 0.9688,
+        "by_registry_size": [
+            {"registry_size": 10, "soft_accuracy": 1.0,
+             "soft_ci95": [0.839, 1.0], "hard_accuracy": 1.0,
+             "mean_margin_nats": 41.2, "min_margin_nats": 8.0,
+             "union_bound_error": 1.2e-4},
+            {"registry_size": 1000, "soft_accuracy": 0.95,
+             "soft_ci95": [0.764, 0.991], "hard_accuracy": 0.9,
+             "mean_margin_nats": 30.5, "min_margin_nats": 2.1,
+             "union_bound_error": 0.013},
+        ],
+    }
+    with open(tmp_path / "result" / "study_identification.json", "w") as f:
+        json.dump([rec], f)
+    out = _run(tmp_path, "identification")
+    assert out.returncode == 0, out.stderr
+    assert "study_identification (1 points)" in out.stdout
+    assert "1.000 [0.84, 1.00]" in out.stdout
+    assert "0.950 [0.76, 0.99]" in out.stdout
+    assert "p_bit 0.0313" in out.stdout
+    assert "union-bound err" in out.stdout
