@@ -136,9 +136,11 @@ def render(name: str, recs) -> str:
     if name == "identification":
         rows = []
         for r in recs:
+            atk = r.get("attack", "None")
             head = (f"{r['img_size']}px kl{r['key_len']} s{r['sigma']:g} "
-                    f"d_min={r['min_distance']} "
-                    f"(p_bit {r['measured_p_bit']:.4f})")
+                    f"d_min={r['min_distance']}"
+                    + (f" +{atk}" if atk != "None" else "")
+                    + f" (p_bit {r['measured_p_bit']:.4f})")
             for row in r["by_registry_size"]:
                 lo, hi = row["soft_ci95"]
                 rows.append([

@@ -382,28 +382,33 @@ def cmd_identification(args) -> int:
         cache_dir=args.cache_dir,
     )
     pipe = study.build_study_pipeline(ckpt, img_size=64, channel_max=128)
-    rec = identification_point(
-        pipe,
-        key_len=32, sigma=6.0, min_distance=6,
-        registry_sizes=(10, 100, 1000),
-        samples=args.samples, steps=args.steps, n_starts=args.n,
-        seed=args.seed,
-        chunk_samples=args.chunk_samples or 10,
-    )
+    recs = []
+    for attack in ("None", "Jpeg", "Crop"):  # clean + the two hardest
+        if args.only and args.only not in attack:
+            continue
+        rec = identification_point(
+            pipe,
+            key_len=32, sigma=6.0, min_distance=6,
+            registry_sizes=(10, 100, 1000),
+            samples=args.samples, steps=args.steps, n_starts=args.n,
+            seed=args.seed, attack=attack,
+            chunk_samples=args.chunk_samples or 10,
+        )
+        recs.append(rec)
+        print(f"[study] attack={attack}: p_bit {rec['measured_p_bit']:.4f} "
+              f"(bit acc {rec['mean_bit_acc']:.4f})")
+        for row in rec["by_registry_size"]:
+            print(
+                f"[study]   N={row['registry_size']}: soft "
+                f"{row['soft_accuracy']:.3f} "
+                f"(CI {row['soft_ci95'][0]:.2f}-{row['soft_ci95'][1]:.2f}), "
+                f"hard {row['hard_accuracy']:.3f}, "
+                f"margin {row['mean_margin_nats']:.1f} nats, "
+                f"union bound err <= {row['union_bound_error']:.3g}"
+            )
     out = args.out or "result/study_identification.json"
     with open(out, "w") as f:
-        json.dump([rec], f, indent=2)
-    print(f"[study] measured p_bit {rec['measured_p_bit']:.4f} "
-          f"(bit acc {rec['mean_bit_acc']:.4f})")
-    for row in rec["by_registry_size"]:
-        print(
-            f"[study] N={row['registry_size']}: soft "
-            f"{row['soft_accuracy']:.3f} "
-            f"(CI {row['soft_ci95'][0]:.2f}-{row['soft_ci95'][1]:.2f}), "
-            f"hard {row['hard_accuracy']:.3f}, "
-            f"margin {row['mean_margin_nats']:.1f} nats, "
-            f"union bound err <= {row['union_bound_error']:.3g}"
-        )
+        json.dump(recs, f, indent=2)
     print(f"[study] wrote {os.path.abspath(out)}")
     return 0
 

@@ -45,6 +45,7 @@ def identification_point(
     dtype: str = "bfloat16",
     chunk_samples: int = 0,
     clip_targets: bool = True,
+    attack: str = "None",
 ) -> Dict[str, Any]:
     """Generate ``samples`` images planted with registry keys, solve them
     once, and decode the user against every registry prefix size.
@@ -82,6 +83,16 @@ def identification_point(
     targets = pl.synthesize(pipe, wx)
     if clip_targets:
         targets = jnp.clip(targets, -1.0, 1.0)
+    if attack != "None":
+        import dataclasses as _dc
+
+        from ..attacks import make_attack
+        from ..config import AttackConfig
+
+        fn = make_attack(
+            _dc.replace(AttackConfig(), augmentation=attack), is_train=False
+        )
+        targets = fn(targets, jax.random.fold_in(rng, 0xA77))
     targets = jax.lax.stop_gradient(targets)
 
     chunk = chunk_samples or samples
@@ -136,6 +147,7 @@ def identification_point(
         "sigma": float(sigma),
         "shift": int(shift),
         "min_distance": min_distance,
+        "attack": attack,
         "samples": samples,
         "steps": steps,
         "n_starts": n_starts,

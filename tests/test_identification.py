@@ -63,3 +63,17 @@ def test_validation():
     with pytest.raises(ValueError):
         identification_point(pipe, registry_sizes=(1,), key_len=8,
                              shift=56, samples=2, steps=2, n_starts=2)
+
+
+def test_attack_path_smoke():
+    """attack= routes targets through the eval-strength channel and the
+    record carries the attack tag (quality is the robustness study's job)."""
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG,
+                             want_lpips=False)
+    rec = identification_point(
+        pipe, key_len=8, sigma=1.0, shift=56, min_distance=2,
+        registry_sizes=(4,), samples=4, steps=5, n_starts=2, seed=3,
+        dtype="float32", clip_targets=False, attack="Noise",
+    )
+    assert rec["attack"] == "Noise"
+    assert len(rec["by_registry_size"]) == 1
