@@ -105,31 +105,20 @@ def main(argv=None) -> int:
     k_build, k_gen, k_atk, k_opt = jax.random.split(key, 4)
     from ..utils import profiling as prof
 
-    custom_lpips = bool(
-        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
-        or args.lpips_disc
-    )
     t0 = time.time()
+    from .common import resolve_lpips
+
+    # skip the default VGG init when custom params replace it below
+    want_lpips, custom_lpips_params = resolve_lpips(args, cfg)
     with prof.phase("build_pipeline"):
         pipe = pl.build_pipeline(
             k_build, cfg.model, cfg.fingerprint,
             attack_cfg=cfg.attack if cfg.attack.augmentation != "None" else None,
             ckpt_path=cfg.model.ckpt,
-            # skip the default VGG init when custom params replace it below
-            want_lpips=(cfg.attribution.loss == "perceptual" and not custom_lpips),
+            want_lpips=want_lpips,
         )
-    if cfg.attribution.loss == "perceptual" and custom_lpips:
-        if args.lpips_disc:
-            from ..losses.disc_percept import load_disc_percept
-
-            pipe.lpips_params = load_disc_percept(args.lpips_disc)
-        else:
-            from ..losses.lpips import build_lpips_params
-
-            pipe.lpips_params = build_lpips_params(
-                jax.random.PRNGKey(0), vgg_path=args.lpips_vgg,
-                lin_path=args.lpips_lin, net=args.lpips_net,
-            )
+    if custom_lpips_params is not None:
+        pipe.lpips_params = custom_lpips_params
     print(f"[attribute] pipeline built in {time.time()-t0:.1f}s")
 
     s_total = cfg.run.sample_size

@@ -183,6 +183,36 @@ def config_from_args(args: argparse.Namespace) -> Config:
     )
 
 
+def resolve_lpips(args: argparse.Namespace, cfg: Config, want: bool = True):
+    """Shared LPIPS wiring for the attribute/serve CLIs.
+
+    Returns ``(want_default_lpips, custom_params)``: pass the first to
+    ``build_pipeline(want_lpips=...)`` and, when the second is not None,
+    assign it to ``pipe.lpips_params`` afterwards.  ``want=False`` (e.g.
+    generation-only serving) skips all LPIPS work."""
+    custom = bool(
+        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
+        or args.lpips_disc
+    )
+    perceptual = want and cfg.attribution.loss == "perceptual"
+    params = None
+    if perceptual and custom:
+        if args.lpips_disc:
+            from ..losses.disc_percept import load_disc_percept
+
+            params = load_disc_percept(args.lpips_disc)
+        else:
+            import jax
+
+            from ..losses.lpips import build_lpips_params
+
+            params = build_lpips_params(
+                jax.random.PRNGKey(0), vgg_path=args.lpips_vgg,
+                lin_path=args.lpips_lin, net=args.lpips_net,
+            )
+    return perceptual and not custom, params
+
+
 def apply_runtime_config(cfg: Config) -> None:
     """Apply config knobs that act via process-global switches.
 

@@ -53,40 +53,26 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     apply_runtime_config(cfg)
 
-    custom_lpips = bool(
-        args.lpips_vgg or args.lpips_lin or args.lpips_net != "vgg"
-        or args.lpips_disc
+    from .common import resolve_lpips
+
+    want_lpips, custom_lpips_params = resolve_lpips(
+        args, cfg, want=not args.no_attribute
     )
     pipe = pl.build_pipeline(
         jax.random.PRNGKey(cfg.run.seed), cfg.model, cfg.fingerprint,
         ckpt_path=cfg.model.ckpt,
-        want_lpips=(
-            not args.no_attribute
-            and cfg.attribution.loss == "perceptual"
-            and not custom_lpips
-        ),
+        want_lpips=want_lpips,
     )
-    if (
-        not args.no_attribute
-        and cfg.attribution.loss == "perceptual"
-        and custom_lpips
-    ):
-        if args.lpips_disc:
-            from ..losses.disc_percept import load_disc_percept
-
-            pipe.lpips_params = load_disc_percept(args.lpips_disc)
-        else:
-            from ..losses.lpips import build_lpips_params
-
-            pipe.lpips_params = build_lpips_params(
-                jax.random.PRNGKey(0), vgg_path=args.lpips_vgg,
-                lin_path=args.lpips_lin, net=args.lpips_net,
-            )
+    if custom_lpips_params is not None:
+        pipe.lpips_params = custom_lpips_params
 
     buckets = tuple(int(b) for b in args.buckets.split(",") if b)
     # data-parallel mesh over all visible devices when >1 (or --mesh_data),
     # same auto-engage rule as cli.generate / cli.attribute; buckets must
-    # then be multiples of the data axis so every shard stays static-shape
+    # then be multiples of the data axis so every shard stays static-shape.
+    # Non-divisible buckets are dropped (with a note) rather than failing
+    # the documented defaults; if none tile the mesh, fall back to the
+    # single-device program like cli.generate does for non-tiling batches.
     mesh = None
     n_dev = len(jax.devices())
     if cfg.run.mesh_data > 1 or (cfg.run.mesh_data == 0 and n_dev > 1):
@@ -95,7 +81,19 @@ def main(argv=None) -> int:
         mesh = pm.make_mesh(
             data=cfg.run.mesh_data or 0, model=max(1, cfg.run.mesh_model)
         )
-        print(f"[serve] mesh: {dict(mesh.shape)}")
+        data = mesh.shape["data"]
+        tiling = tuple(b for b in buckets if b % data == 0)
+        if not tiling:
+            print(f"[serve] no bucket in {buckets} tiles the {data}-way "
+                  "data axis; serving single-device (pass mesh-multiple "
+                  "--buckets to engage the mesh)")
+            mesh = None
+        else:
+            if tiling != buckets:
+                print(f"[serve] buckets {buckets} -> {tiling} "
+                      f"(multiples of the {data}-way data axis)")
+            buckets = tiling
+            print(f"[serve] mesh: {dict(mesh.shape)}")
     registry = None
     if args.registry:
         from ..fingerprint.keys import KeyRegistry
@@ -109,6 +107,7 @@ def main(argv=None) -> int:
         cfg=ServeConfig(buckets=buckets, max_wait_ms=args.max_wait_ms),
         seed=cfg.run.seed,
         mesh=mesh,
+        shard_model=cfg.run.mesh_model > 1,
         registry=registry,
     )
     print(f"[serve] AOT-compiling buckets {buckets} ...", flush=True)

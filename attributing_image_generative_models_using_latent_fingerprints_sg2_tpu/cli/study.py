@@ -377,15 +377,28 @@ def cmd_identification(args) -> int:
     from ..eval import study
     from ..eval.identification import identification_point
 
-    ckpt = study.ensure_trained(
-        img_size=64, channel_max=128, train_steps=3000,
-        cache_dir=args.cache_dir,
-    )
-    pipe = study.build_study_pipeline(ckpt, img_size=64, channel_max=128)
-    recs = []
+    out = args.out or "result/study_identification.json"
+    jsonl = out + ".jsonl"
+    done = _load_done(jsonl)  # crash/resume safe, like every other study
+    recs = list(done.values())
+    pipe = None
     for attack in ("None", "Jpeg", "Crop"):  # clean + the two hardest
-        if args.only and args.only not in attack:
+        tag = f"ident_64px_kl32_s6_{attack}"
+        if args.only and args.only not in tag:
             continue
+        if tag in done:
+            print(f"[study] {tag}: cached "
+                  f"(bit acc {done[tag]['mean_bit_acc']:.4f})")
+            continue
+        if pipe is None:
+            ckpt = study.ensure_trained(
+                img_size=64, channel_max=128, train_steps=3000,
+                cache_dir=args.cache_dir,
+            )
+            pipe = study.build_study_pipeline(
+                ckpt, img_size=64, channel_max=128
+            )
+        t0 = time.time()
         rec = identification_point(
             pipe,
             key_len=32, sigma=6.0, min_distance=6,
@@ -394,9 +407,13 @@ def cmd_identification(args) -> int:
             seed=args.seed, attack=attack,
             chunk_samples=args.chunk_samples or 10,
         )
+        rec["tag"] = tag
+        rec["wall_s"] = round(time.time() - t0, 1)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
         recs.append(rec)
-        print(f"[study] attack={attack}: p_bit {rec['measured_p_bit']:.4f} "
-              f"(bit acc {rec['mean_bit_acc']:.4f})")
+        print(f"[study] {tag}: p_bit {rec['measured_p_bit']:.4f} "
+              f"(bit acc {rec['mean_bit_acc']:.4f}), {rec['wall_s']}s")
         for row in rec["by_registry_size"]:
             print(
                 f"[study]   N={row['registry_size']}: soft "
@@ -406,10 +423,9 @@ def cmd_identification(args) -> int:
                 f"margin {row['mean_margin_nats']:.1f} nats, "
                 f"union bound err <= {row['union_bound_error']:.3g}"
             )
-    out = args.out or "result/study_identification.json"
     with open(out, "w") as f:
         json.dump(recs, f, indent=2)
-    print(f"[study] wrote {os.path.abspath(out)}")
+    print(f"[study] wrote {os.path.abspath(out)} ({len(recs)} points)")
     return 0
 
 

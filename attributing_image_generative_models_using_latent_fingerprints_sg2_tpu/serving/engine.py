@@ -27,10 +27,11 @@ execute:
 Attribution requests run the full batched solver
 (fingerprint.attribute.attribute) --- thousands of optimizer steps as a
 single ``lax.scan`` program --- over the coalesced targets.  Solver
-randomness (LHS restart initialization) is drawn per batch, so unlike
-generation, attribution outputs are reproducible given (engine seed,
-batch composition); this matches the solver's stochastic-restart
-semantics (ref src/main.py:103-110).
+randomness (LHS restart initialization) is drawn per batch from a
+dedicated counter, so unlike generation, attribution outputs are
+reproducible given (engine seed, attribute-batch index, batch
+composition) --- not per request; this matches the solver's
+stochastic-restart semantics (ref src/main.py:103-110).
 """
 
 from __future__ import annotations
@@ -69,6 +70,12 @@ class ServeConfig:
     max_queue: int = 1024
     aot_warmup: bool = True
     latency_window: int = 1024  # ring buffer for percentile stats
+
+
+class EngineUnavailable(RuntimeError):
+    """Transient capacity/lifecycle failure (queue full, engine stopped):
+    the request was fine, retry later.  The HTTP layer maps this to 503,
+    distinct from client errors (400)."""
 
 
 @dataclasses.dataclass
@@ -201,7 +208,8 @@ class InferenceEngine:
         self._cond = threading.Condition()
         self._stop = False
         self._worker: Optional[threading.Thread] = None
-        self._batch_counter = 0
+        self._batch_counter = 0  # auto-seed stream for generate()
+        self._attr_counter = 0  # solver-rng stream for attribute batches
         # stats
         self._lock = threading.Lock()
         self._n_requests = collections.Counter()
@@ -237,7 +245,7 @@ class InferenceEngine:
         for q in self._queues.values():
             while q:
                 req = q.popleft()
-                req.future.set_exception(RuntimeError("engine stopped"))
+                req.future.set_exception(EngineUnavailable("engine stopped"))
 
     # ------------------------------------------------------------------ #
     # AOT compilation
@@ -292,8 +300,10 @@ class InferenceEngine:
                 )
             else:  # pragma: no cover - internal
                 raise ValueError(kind)
-            self._exec[(kind, b)] = lowered.compile()
-        return self._exec[(kind, b)]
+            compiled = lowered.compile()
+        with self._lock:  # stats() iterates _exec under the same lock
+            self._exec[(kind, b)] = compiled
+        return compiled
 
     def warmup(self, kinds: Optional[Sequence[str]] = None) -> Dict[str, float]:
         """AOT-compile every (kind, bucket) executable. Returns seconds per
@@ -342,6 +352,11 @@ class InferenceEngine:
             with self._lock:
                 self._batch_counter += 1
                 seed = (self.seed * 1_000_003 + self._batch_counter) % (2**31)
+        else:
+            # int32 device array; reduce out-of-range seeds deterministically
+            # instead of overflowing inside the worker (which would fail the
+            # whole coalesced batch)
+            seed = int(seed) % (2**31)
         bits = None
         if key_bits is not None:
             bits = np.asarray(key_bits, dtype=np.float32).reshape(-1)
@@ -467,9 +482,9 @@ class InferenceEngine:
         req = _Request(kind, payload, fut, time.perf_counter())
         with self._cond:
             if self._stop or self._worker is None:
-                raise RuntimeError("engine not running (call start())")
+                raise EngineUnavailable("engine not running (call start())")
             if sum(len(q) for q in self._queues.values()) >= self.cfg.max_queue:
-                raise RuntimeError("queue full")
+                raise EngineUnavailable("queue full")
             self._queues[kind].append(req)
             self._cond.notify_all()
         with self._lock:
@@ -560,8 +575,8 @@ class InferenceEngine:
                 targets[i] = req.payload["image"]
             targets[n:] = targets[n - 1]
             with self._lock:
-                self._batch_counter += 1
-                rng_seed = self._batch_counter
+                self._attr_counter += 1
+                rng_seed = self._attr_counter
             rng = np.asarray(
                 jax.random.PRNGKey(self.seed * 7_919 + rng_seed), np.uint32
             )

@@ -28,30 +28,20 @@ import base64
 import io
 import json
 import os
-import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
-from ..utils.image import _save_png, make_image
-from .engine import InferenceEngine
+from ..utils.image import encode_png, make_image
+from .engine import EngineUnavailable, InferenceEngine
 
 
 def _png_b64(img_float_hwc: np.ndarray) -> str:
-    """float [-1,1] HWC -> base64 PNG (native writer, PIL fallback)."""
+    """float [-1,1] HWC -> base64 PNG (in-memory encode)."""
     u8 = make_image(img_float_hwc[None])[0]
-    # the native writer targets a path; round-trip through a temp file
-    fd, path = tempfile.mkstemp(suffix=".png")
-    os.close(fd)
-    try:
-        _save_png(u8, path)
-        with open(path, "rb") as f:
-            raw = f.read()
-    finally:
-        os.unlink(path)
-    return base64.b64encode(raw).decode("ascii")
+    return base64.b64encode(encode_png(u8)).decode("ascii")
 
 
 def _decode_image(body: Dict[str, Any], img_size: int) -> np.ndarray:
@@ -116,6 +106,9 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/v1/identify":
                 return self._identify(body)
             return self._reply(404, {"error": f"unknown path {self.path}"})
+        except EngineUnavailable as e:
+            # transient capacity/lifecycle failure: tell clients to retry
+            return self._reply(503, {"error": str(e), "retryable": True})
         except (ValueError, RuntimeError) as e:
             return self._reply(400, {"error": str(e)})
 

@@ -42,6 +42,33 @@ def _save_png(arr: np.ndarray, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 HWC -> PNG bytes, in memory (serving hot path).
+
+    PIL encodes straight into a BytesIO; only if PIL is absent does this
+    fall back to the native disk writer through a temp file."""
+    try:
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        import os as _os
+        import tempfile as _tempfile
+
+        fd, path = _tempfile.mkstemp(suffix=".png")
+        _os.close(fd)
+        try:
+            _save_png(arr, path)
+            with open(path, "rb") as f:
+                return f.read()
+        finally:
+            _os.unlink(path)
+
+
 def store_results(
     save_dir: str,
     index: int,

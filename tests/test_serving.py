@@ -108,6 +108,29 @@ def test_input_validation(engine):
         engine.attribute(np.zeros((16, 16, 3), np.float32))  # wrong size
 
 
+def test_out_of_range_seed_reduced_not_overflow(engine):
+    """Seeds beyond int32 reduce deterministically instead of raising
+    OverflowError inside the worker (which would fail the whole batch)."""
+    big = 3_000_000_000
+    a = engine.generate(seed=big)
+    b = engine.generate(seed=big % (2**31))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["seed"] == big % (2**31)
+
+
+def test_stopped_engine_raises_unavailable(pipe):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.serving.engine import (
+        EngineUnavailable,
+    )
+
+    eng = InferenceEngine(
+        pipe, cfg=ServeConfig(buckets=(1,), aot_warmup=False)
+    ).start()
+    eng.stop()
+    with pytest.raises(EngineUnavailable):
+        eng.generate(seed=1)
+
+
 def test_attribute_disabled_without_acfg(pipe):
     eng = InferenceEngine(
         pipe, acfg=None, cfg=ServeConfig(buckets=(1,), aot_warmup=False)
