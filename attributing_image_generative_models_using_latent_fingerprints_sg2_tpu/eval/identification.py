@@ -114,8 +114,17 @@ def identification_point(
 
     per_n = []
     for n in sizes:
+        # Permute each prefix before matching: planted users live at the
+        # low indices, and both decoders break ties toward the LOWER index
+        # (stable argsort) --- matching on the raw prefix would resolve
+        # distance ties systematically in the true user's favor and
+        # overstate accuracy.  A seeded shuffle makes tie-breaking
+        # index-neutral, as it is in deployment.
+        perm = np.random.default_rng(seed * 1_000_003 + n).permutation(n)
+        inv = np.argsort(perm)  # original index -> shuffled position
         sub = KeyRegistry(
-            keys=reg.keys[:n], names=reg.names[:n],
+            keys=reg.keys[:n][perm],
+            names=[reg.names[i] for i in perm],
             min_distance=reg.min_distance,
         )
         soft_ok = hard_ok = 0
@@ -123,8 +132,8 @@ def identification_point(
         for s in range(samples):
             si, _, margin = sub.match_soft(logits[s])
             hi, _, _ = sub.match_hard(dec_bits[s])
-            soft_ok += si == users[s]
-            hard_ok += hi == users[s]
+            soft_ok += si == inv[users[s]]
+            hard_ok += hi == inv[users[s]]
             margins.append(margin)
         slo, shi = wilson_ci(soft_ok, samples)
         per_n.append({

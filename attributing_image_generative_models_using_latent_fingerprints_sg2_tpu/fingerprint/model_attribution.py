@@ -72,6 +72,24 @@ def attribute_model(
     if not pipes:
         raise ValueError("empty model registry")
     names = list(pipes.keys())
+    # fail fast on heterogeneous registries: mismatched key_len breaks the
+    # final np.stack only AFTER every expensive solve ran, and mismatched
+    # img_size crashes mid-loop inside jit tracing
+    hw_t = tuple(targets.shape[-3:-1])
+    for name in names:
+        p = pipes[name]
+        k = p.fpcfg.key_len
+        hw = p.mcfg.img_size
+        if k != pipes[names[0]].fpcfg.key_len:
+            raise ValueError(
+                f"registry pipelines disagree on key_len: {name!r} has {k}, "
+                f"{names[0]!r} has {pipes[names[0]].fpcfg.key_len}"
+            )
+        if (hw, hw) != hw_t:
+            raise ValueError(
+                f"pipeline {name!r} img_size {hw} != target spatial shape "
+                f"{hw_t}"
+            )
     losses = []
     results: Dict[str, attr_mod.AttributionResult] = {}
     for i, name in enumerate(names):

@@ -193,7 +193,7 @@ class InferenceEngine:
             self._repl_sh = replicated(mesh)
         self.pipe = pipe
         self.acfg = acfg
-        self.registry = registry  # fingerprint.keys.KeyRegistry or None
+        self.registry = registry  # setter validates + builds the name index
         self.cfg = cfg
         self.seed = seed
         self._gen_jit = jax.jit(_build_generate_fn(pipe))
@@ -220,6 +220,28 @@ class InferenceEngine:
             k: collections.deque(maxlen=cfg.latency_window)
             for k in ("generate", "attribute")
         }
+
+    # ------------------------------------------------------------------ #
+    # registry (fingerprint.keys.KeyRegistry or None)
+    # ------------------------------------------------------------------ #
+    @property
+    def registry(self):
+        return self._registry
+
+    @registry.setter
+    def registry(self, reg) -> None:
+        """Validate at attach time (deploy), not on the first identify in
+        production, and build the O(1) name->index map the generate hot
+        path uses instead of a linear registry scan per request."""
+        if reg is not None and reg.keys.shape[1] != self.pipe.fpcfg.key_len:
+            raise ValueError(
+                f"registry key_len {reg.keys.shape[1]} != pipeline "
+                f"key_len {self.pipe.fpcfg.key_len}"
+            )
+        self._registry = reg
+        self._user_index: Optional[Dict[str, int]] = (
+            None if reg is None else {n: i for i, n in enumerate(reg.names)}
+        )
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -343,10 +365,9 @@ class InferenceEngine:
                 raise ValueError("pass either key_bits or user, not both")
             if self.registry is None:
                 raise RuntimeError("no KeyRegistry attached to this engine")
-            try:
-                idx = self.registry.names.index(user)
-            except ValueError:
-                raise ValueError(f"unknown user {user!r}") from None
+            idx = self._user_index.get(user)
+            if idx is None:
+                raise ValueError(f"unknown user {user!r}")
             key_bits = self.registry.keys[idx]
         if seed is None:
             with self._lock:
@@ -407,12 +428,7 @@ class InferenceEngine:
         """
         if self.registry is None:
             raise RuntimeError("no KeyRegistry attached to this engine")
-        reg = self.registry
-        if reg.keys.shape[1] != self.pipe.fpcfg.key_len:
-            raise RuntimeError(
-                f"registry key_len {reg.keys.shape[1]} != pipeline "
-                f"key_len {self.pipe.fpcfg.key_len}"
-            )
+        reg = self.registry  # key_len validated by the registry setter
         inner = self.attribute(image, sync=False)
 
         def _finish(att: Dict[str, Any]) -> Dict[str, Any]:

@@ -44,6 +44,14 @@ def _png_b64(img_float_hwc: np.ndarray) -> str:
     return base64.b64encode(encode_png(u8)).decode("ascii")
 
 
+def _finite(x: float):
+    """RFC 8259 has no Infinity/NaN literal; a one-user registry yields
+    margin=inf and a degenerate solve can yield NaN loss --- serialize
+    those as null so strict clients can still parse the response."""
+    x = float(x)
+    return x if np.isfinite(x) else None
+
+
 def _decode_image(body: Dict[str, Any], img_size: int) -> np.ndarray:
     if "image_npy_b64" in body:
         raw = base64.b64decode(body["image_npy_b64"])
@@ -109,26 +117,32 @@ class _Handler(BaseHTTPRequestHandler):
         except EngineUnavailable as e:
             # transient capacity/lifecycle failure: tell clients to retry
             return self._reply(503, {"error": str(e), "retryable": True})
-        except (ValueError, RuntimeError) as e:
+        except ValueError as e:
             return self._reply(400, {"error": str(e)})
+        except RuntimeError as e:
+            # engine-side misconfiguration (attribution disabled, no
+            # registry attached): the request was fine, the server is not
+            # set up to serve it --- distinct from client errors
+            return self._reply(501, {"error": str(e)})
 
     def _generate(self, body: Dict[str, Any]) -> None:
+        encoding = body.get("encoding", "png_b64")
+        if encoding not in ("png_b64", "float_list"):
+            # reject before burning a device batch on a doomed request
+            raise ValueError(f"unknown encoding {encoding!r}")
         out = self.engine.generate(
             seed=body.get("seed"),
             key_bits=body.get("key_bits"),
             user=body.get("user"),
         )
-        encoding = body.get("encoding", "png_b64")
         resp: Dict[str, Any] = {
             "seed": out["seed"],
             "key_bits": out["key_bits"].tolist(),
         }
         if encoding == "png_b64":
             resp["image_png_b64"] = _png_b64(out["image"])
-        elif encoding == "float_list":
-            resp["image"] = out["image"].tolist()
         else:
-            raise ValueError(f"unknown encoding {encoding!r}")
+            resp["image"] = out["image"].tolist()
         if body.get("return_latent"):
             resp["w"] = out["w"].tolist()
         self._reply(200, resp)
@@ -141,7 +155,7 @@ class _Handler(BaseHTTPRequestHandler):
             {
                 "key_bits": out["key_bits"].tolist(),
                 "confidence": np.round(out["confidence"], 6).tolist(),
-                "loss": out["loss"],
+                "loss": _finite(out["loss"]),
             },
         )
 
@@ -154,12 +168,12 @@ class _Handler(BaseHTTPRequestHandler):
             {
                 "user": out["user"],
                 "user_index": out["user_index"],
-                "log_likelihood": out["log_likelihood"],
-                "margin_nats": out["margin_nats"],
+                "log_likelihood": _finite(out["log_likelihood"]),
+                "margin_nats": _finite(out["margin_nats"]),
                 "hard_match_user": out["hard_match_user"],
                 "hard_distance": out["hard_distance"],
                 "key_bits": out["key_bits"].tolist(),
-                "loss": out["loss"],
+                "loss": _finite(out["loss"]),
             },
         )
 

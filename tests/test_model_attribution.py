@@ -117,3 +117,23 @@ def test_calibrate_validation():
         calibrate_open_set_threshold(np.array([]))
     tau = calibrate_open_set_threshold(np.array([1e-4, 2e-4]), slack=2.0)
     assert tau == pytest.approx(2e-4 * 0.99 * 2.0, rel=0.05)
+
+
+def test_heterogeneous_registry_fails_fast(registry):
+    """Mismatched key_len / img_size must be rejected BEFORE any expensive
+    per-model solve runs (the stack/jit failure would otherwise surface
+    only after thousands of optimizer steps)."""
+    import dataclasses
+
+    pipe_k16 = pl.build_pipeline(
+        jax.random.PRNGKey(7), MCFG,
+        dataclasses.replace(FPCFG, key_len=16, shift=48), want_lpips=False,
+    )
+    bad = dict(registry)
+    bad["model_k16"] = pipe_k16
+    with pytest.raises(ValueError, match="key_len"):
+        attribute_model(bad, np.zeros((1, 32, 32, 3), np.float32),
+                        jax.random.PRNGKey(0), ACFG)
+    with pytest.raises(ValueError, match="img_size"):
+        attribute_model(registry, np.zeros((1, 16, 16, 3), np.float32),
+                        jax.random.PRNGKey(0), ACFG)

@@ -312,6 +312,55 @@ def test_http_errors(http_base):
         assert "image" in json.loads(e.read())["error"]
 
 
+def test_http_misconfig_is_501_not_400(http_base):
+    """A valid request against an endpoint the server isn't configured for
+    (identify without a registry) is a server-config error, not a client
+    error --- clients must not be told to 'fix' a fine request."""
+    img = np.zeros((32, 32, 3), np.float32)
+    try:
+        _post(http_base + "/v1/identify", {"image": img.tolist()})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+        assert "KeyRegistry" in json.loads(e.read())["error"]
+
+
+def test_http_bad_encoding_rejected_before_generation(http_base, engine):
+    before = engine.stats()["generate"]["requests"]
+    try:
+        _post(http_base + "/v1/generate", {"seed": 1, "encoding": "jpeg"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "encoding" in json.loads(e.read())["error"]
+    # the doomed request never reached the device queue
+    assert engine.stats()["generate"]["requests"] == before
+
+
+def test_registry_setter_validates_key_len(engine):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.keys import (
+        KeyRegistry,
+    )
+
+    bad = KeyRegistry.issue(4, key_len=FPCFG.key_len * 2, min_distance=4,
+                            seed=0)
+    with pytest.raises(ValueError, match="key_len"):
+        engine.registry = bad
+    assert engine.registry is None  # rejected attach leaves state unchanged
+
+
+def test_json_finite_sanitizer():
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.serving.server import (
+        _finite,
+    )
+
+    assert _finite(1.5) == 1.5
+    assert _finite(float("inf")) is None
+    assert _finite(float("nan")) is None
+    # the single-user-registry response path must be strict-JSON parseable
+    assert json.loads(json.dumps({"m": _finite(float("inf"))})) == {"m": None}
+
+
 def test_concurrent_http_load(http_base):
     """Many parallel HTTP clients all get correct, per-seed-stable answers."""
     results = {}
