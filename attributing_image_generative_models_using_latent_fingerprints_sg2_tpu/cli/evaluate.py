@@ -60,6 +60,11 @@ def main(argv=None) -> int:
         with_fid=args.with_fid,
         dtype=cfg.run.dtype,
         lpips_params=lpips_params,
+        # random-init smoke generators emit +-5; clipping would push the
+        # targets off-manifold and zero the accuracy signal (see
+        # eval/identification.py) --- real checkpoints measure clipped,
+        # the deployment condition
+        clip_targets=not args.random_init,
     )
     js = sweep_to_json(pts)
     with open(args.out, "w") as f:

@@ -51,6 +51,14 @@ def _exact_cell(rec):
             f"{_ci(rec, 'exact_match_ci95')}")
 
 
+def _spearman_cell(v) -> str:
+    """None (degenerate point, new records) and NaN (old records written
+    before the None convention) both render as '-' instead of 'nan'."""
+    if v is None or (isinstance(v, float) and v != v):
+        return "-"
+    return f"{v:.2f}"
+
+
 def _table(rows, header):
     out = ["| " + " | ".join(header) + " |",
            "|" + "---|" * len(header)]
@@ -109,12 +117,15 @@ def render(name: str, recs) -> str:
     title = f"## study_{name} ({len(recs)} points)"
     if name == "capacity":
         fmt = lambda v: f"{v:.2f}" if isinstance(v, float) else v
+        fmt4 = lambda v: f"{v:.4f}" if isinstance(v, float) else v
         rows = [[r.get("key_len"), r.get("sigma"), fmt(r.get("fid")),
-                 fmt(r.get("fid_disc")), round(r.get("mean_bit_acc", 0), 4)]
+                 fmt(r.get("fid_disc")), fmt4(r.get("watermark_lpips")),
+                 fmt4(r.get("watermark_mse")),
+                 round(r.get("mean_bit_acc", 0), 4)]
                 for r in recs]
         return title + "\n" + _table(
             rows, ["key_len", "sigma", "watermark FID", "disc-feature FD",
-                   "mean bit acc"])
+                   "watermark LPIPS", "watermark MSE", "mean bit acc"])
     if name == "scaling":
         rows = []
         for r in sorted(recs, key=lambda r: (r["img_size"],
@@ -126,7 +137,7 @@ def render(name: str, recs) -> str:
                 f"s={r['sigma']:g}", f"{r['mean_bit_acc']:.4f}",
                 f"{r['band_sigma_median']:.3f}",
                 f"{r['content_sigma_median']:.3f}",
-                f"{r.get('bit_sigma_spearman', 0) or 0:.2f}"])
+                _spearman_cell(r.get("bit_sigma_spearman"))])
         return title + "\n" + _table(
             rows, ["model (px/width/steps)", "sigma", "bit acc",
                    "key-band sigma med", "content sigma med",

@@ -74,10 +74,12 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--chunk_samples", type=int, default=0,
                    help="solve in chunks of this many samples (memory bound); "
-                        "0 = auto by image size AND width (measured v5e "
-                        "worker-crash envelope: 200 chains OK @64px/cm128, "
-                        "100 OK @128px/cm128 but crashes @128px/cm256; "
-                        "40 OK @128px/cm256)")
+                        "0 = auto from the measured v5e worker-crash "
+                        "envelope in chain*pixel*channel units (see "
+                        "_auto_chunk: 200 chains OK @64px/cm128, 100 OK "
+                        "@128px/cm128, 100 CRASHES @128px/cm256, 40 OK "
+                        "there; 256px-wide models chunk the restarts "
+                        "instead)")
     p.add_argument("--only", type=str, default="",
                    help="substring filter on the point tag (subset runs)")
     p.add_argument("--compile_cache", type=str, default="/tmp/jax_cache_fp")
@@ -90,6 +92,31 @@ def _load_done(jsonl_path: str) -> dict:
     if not os.path.exists(jsonl_path):
         return {}
     return {rec["tag"]: rec for rec in read_jsonl_resumable(jsonl_path)}
+
+
+# Measured v5e worker-crash envelope, in chain*pixel*channel units
+# (concurrent chains = chunk_samples * concurrent starts):
+#   200 chains OK    @ 64px/cm128  -> 200*64^2*128 = 1.0e8
+#   100 chains OK    @128px/cm128  -> 2.1e8
+#   100 chains CRASH @128px/cm256  -> 4.2e8
+#    40 chains OK    @128px/cm256  -> 1.7e8
+# Safe activation budget ~2.1e8; chains additionally capped at 200 (the
+# largest count ever measured OK) so small models don't extrapolate.
+_CHAIN_BUDGET_UNITS = 2.1e8
+_CHAIN_CAP = 200
+
+
+def _auto_chunk(img_size: int, channel_max: int, n_eff: int):
+    """(chunk_samples, chunk_starts) keeping concurrent chains inside the
+    measured envelope.  When even ONE sample's n_eff restarts blow the
+    budget (256px-wide models), the restarts are chunked instead ---
+    attribute_chunked runs start-chunks sequentially at identical
+    numerics."""
+    unit = img_size * img_size * channel_max
+    chains = max(1, min(_CHAIN_CAP, int(_CHAIN_BUDGET_UNITS // unit)))
+    if chains >= n_eff:
+        return max(1, chains // max(1, n_eff)), 0
+    return 1, chains
 
 
 def _run_points(args, point_specs, out_default: str) -> int:
@@ -125,18 +152,24 @@ def _run_points(args, point_specs, out_default: str) -> int:
             )
         ek = dict(ek)
         factory = ek.pop("_lpips_factory", None)
-        small = mk["img_size"] <= 128 and mk["channel_max"] <= 128
-        # The measured worker-crash envelope (parser help) is in CONCURRENT
-        # CHAINS (= chunk * n_starts), sized for the default n=20 --- scale
-        # the sample chunk down when a point overrides n_starts (e.g. the
-        # pruning study's n=40 rows) so the chain budget is preserved.
+        # The measured worker-crash envelope (_auto_chunk) is in CONCURRENT
+        # CHAINS (= chunk * concurrent starts), sized by pixels x width ---
+        # scale down when a point overrides n_starts (the pruning study's
+        # n=40 rows) and fall back to restart-chunking when one sample
+        # already exceeds the budget (256px-wide models).  Pruning needs
+        # all restarts live in one program, so those rows never get
+        # chunk_starts (their 64/128px operating points fit anyway).
         n_eff = max(1, ek.get("n_starts", args.n))
-        chunk = args.chunk_samples or max(1, (
-            10 if mk["img_size"] <= 64 else (5 if small else 2)
-        ) * 20 // n_eff)
+        chunk, chunk_starts = _auto_chunk(
+            mk["img_size"], mk["channel_max"], n_eff
+        )
+        if ek.get("prune_starts"):
+            chunk_starts = 0
+        if args.chunk_samples:
+            chunk, chunk_starts = args.chunk_samples, 0
         call_kw = dict(
             samples=args.samples, steps=args.steps, n_starts=args.n,
-            seed=args.seed, chunk_samples=chunk,
+            seed=args.seed, chunk_samples=chunk, chunk_starts=chunk_starts,
             lpips_params=(factory() if factory is not None else None),
         )
         call_kw.update(ek)  # point spec overrides the defaults (e.g. n_starts)
@@ -217,11 +250,19 @@ def cmd_perceptual(args) -> int:
     from ..losses.lpips import init_lpips_params
 
     mk = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
-    ckpt = study.ensure_trained(
-        img_size=mk["img_size"], channel_max=mk["channel_max"],
-        train_steps=mk["train_steps"], cache_dir=args.cache_dir,
-        need_disc=True,
-    )
+    # Lazy: train (with the disc export) only when a backbone factory
+    # actually runs --- a fully-cached jsonl must not retrain a wiped
+    # /tmp checkpoint just to then skip every point.
+    _ckpt_box: list = []
+
+    def _ckpt() -> str:
+        if not _ckpt_box:
+            _ckpt_box.append(study.ensure_trained(
+                img_size=mk["img_size"], channel_max=mk["channel_max"],
+                train_steps=mk["train_steps"], cache_dir=args.cache_dir,
+                need_disc=True,
+            ))
+        return _ckpt_box[0]
 
     def _calibrated(make_base, seed):
         cache = []  # fit once per backbone, not once per attack point ---
@@ -243,10 +284,10 @@ def cmd_perceptual(args) -> int:
 
     backbones = {
         "mse": (("mse",), None),
-        "disc": (("perceptual",), lambda: load_disc_percept(ckpt + ".disc.npz")),
+        "disc": (("perceptual",), lambda: load_disc_percept(_ckpt() + ".disc.npz")),
         "vgg_rand": (("perceptual",), lambda: init_lpips_params(jax.random.PRNGKey(0))),
         "disc_cal": (("perceptual",),
-                     _calibrated(lambda: load_disc_percept(ckpt + ".disc.npz"), 11)),
+                     _calibrated(lambda: load_disc_percept(_ckpt() + ".disc.npz"), 11)),
         "vgg_cal": (("perceptual",),
                     _calibrated(lambda: init_lpips_params(jax.random.PRNGKey(0)), 12)),
     }
@@ -405,7 +446,10 @@ def cmd_identification(args) -> int:
             registry_sizes=(10, 100, 1000),
             samples=args.samples, steps=args.steps, n_starts=args.n,
             seed=args.seed, attack=attack,
-            chunk_samples=args.chunk_samples or 10,
+            chunk_samples=(
+                args.chunk_samples
+                or _auto_chunk(64, 128, max(1, args.n))[0]
+            ),
         )
         rec["tag"] = tag
         rec["wall_s"] = round(time.time() - t0, 1)

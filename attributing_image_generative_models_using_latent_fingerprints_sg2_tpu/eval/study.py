@@ -208,21 +208,40 @@ def eval_point(
     }
 
 
-def bit_sigma_correlation(point: Dict[str, Any]) -> float:
+def _average_ranks(x: np.ndarray) -> np.ndarray:
+    """Ranks with ties assigned the group-average rank (0-based)."""
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(x.shape[0], np.float64)
+    sx = x[order]
+    i = 0
+    while i < x.shape[0]:
+        j = i
+        while j < x.shape[0] and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j - 1) / 2.0
+        i = j
+    return ranks
+
+
+def bit_sigma_correlation(point: Dict[str, Any]) -> Optional[float]:
     """Spearman rank correlation between per-bit accuracy and the sigma of
     the PC carrying that bit (positive = low-sigma axes lose bits).
 
     Tie-corrected (average ranks): per-bit accuracies are quantized to
     k/samples with large tie groups (many bits at 1.0), so argsort-based
     ranks would break ties by bit index and bias rho toward the
-    index-ordered sigma ranks."""
-    from scipy import stats
-
-    acc = np.asarray(point["per_bit_acc"])
-    sig = np.asarray(point["band_sigma"])
+    index-ordered sigma ranks.  Pure numpy (Pearson of average ranks ==
+    tie-corrected Spearman): scipy is not a declared dependency, and an
+    ImportError here would land AFTER the expensive solve but BEFORE the
+    jsonl checkpoint, losing the point on every retry.  Degenerate inputs
+    (zero variance) return None --- JSON-safe, unlike NaN, which
+    ``json.dumps`` would emit as a literal strict parsers reject."""
+    acc = np.asarray(point["per_bit_acc"], np.float64)
+    sig = np.asarray(point["band_sigma"], np.float64)
     if acc.std() == 0 or sig.std() == 0:
-        return float("nan")
-    return float(stats.spearmanr(acc, sig).statistic)
+        return None
+    rho = float(np.corrcoef(_average_ranks(acc), _average_ranks(sig))[0, 1])
+    return rho if np.isfinite(rho) else None
 
 
 def ensure_trained(

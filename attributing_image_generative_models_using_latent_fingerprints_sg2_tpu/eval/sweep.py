@@ -59,6 +59,7 @@ def run_sweep(
     dtype: str = "float32",
     lpips_params=None,
     disc_params=None,
+    clip_targets: bool = True,
 ) -> List[SweepPoint]:
     acfg = acfg or AttributionConfig(steps=200, n_starts=4, loss="mse")
     if acfg.solver_attack != "None":
@@ -104,6 +105,15 @@ def run_sweep(
             w0, wx = fpe.embed(basis, alpha, bits)
             imgs_wx = pl.synthesize(pipe, wx)
             imgs_w0 = pl.synthesize(pipe, w0)
+            if clip_targets:
+                # deployment stores clipped u8 images --- measure both the
+                # visibility metrics and the solve under the same condition
+                # as eval_point / identification_point (their targets clip
+                # too), so capacity rows are comparable to headline rows.
+                # Random-init TEST generators emit +-5 and clipping pushes
+                # targets off-manifold --- tiny-scale callers disable it.
+                imgs_wx = jnp.clip(imgs_wx, -1.0, 1.0)
+                imgs_w0 = jnp.clip(imgs_w0, -1.0, 1.0)
 
             wm_lpips = float(
                 jnp.mean(lpips_mod.lpips(lpips_params, imgs_w0, imgs_wx))

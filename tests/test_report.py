@@ -100,3 +100,33 @@ def test_report_identification_table(tmp_path):
     assert "0.950 [0.76, 0.99]" in out.stdout
     assert "p_bit 0.0313" in out.stdout
     assert "union-bound err" in out.stdout
+
+
+def test_report_scaling_spearman_degenerate_renders_dash(tmp_path):
+    """None (new records) and NaN (records written before the None
+    convention) both render '-' instead of 'nan' in the Spearman cell."""
+    (tmp_path / "result").mkdir()
+    with open(tmp_path / "result" / "study_scaling.json.jsonl", "w") as f:
+        f.write(json.dumps({**REC, "bit_sigma_spearman": None}) + "\n")
+        f.write(json.dumps({**REC, "tag": REC["tag"] + "_b",
+                            "bit_sigma_spearman": float("nan")}) + "\n")
+    out = _run(tmp_path, "scaling")
+    assert out.returncode == 0, out.stderr
+    assert "nan" not in out.stdout
+    assert "| - |" in out.stdout
+
+
+def test_report_capacity_renders_visibility_columns(tmp_path):
+    """The capacity table must carry the measured LPIPS/MSE visibility
+    numbers, not just FID -- BASELINE.md cites this render."""
+    (tmp_path / "result").mkdir()
+    rec = {"key_len": 32, "sigma": 3.0, "shift": 480,
+           "mean_bit_acc": 0.97, "attribution_acc": 0.6,
+           "watermark_lpips": 0.0123, "watermark_mse": 0.0045,
+           "fid": 1.3, "fid_disc": 0.8}
+    with open(tmp_path / "result" / "study_capacity.json", "w") as f:
+        json.dump([rec], f)
+    out = _run(tmp_path, "capacity")
+    assert out.returncode == 0, out.stderr
+    assert "watermark LPIPS" in out.stdout and "watermark MSE" in out.stdout
+    assert "0.0123" in out.stdout and "0.0045" in out.stdout

@@ -94,7 +94,52 @@ def test_bit_sigma_correlation_bounds():
     point["band_sigma"] = point["band_sigma"][::-1]
     assert study.bit_sigma_correlation(point) == pytest.approx(-1.0)
     point["per_bit_acc"] = [0.5, 0.5, 0.5, 0.5]
-    assert math.isnan(study.bit_sigma_correlation(point))
+    # degenerate points return None (JSON-safe), not NaN: json.dumps
+    # would otherwise write a literal NaN strict parsers reject
+    assert study.bit_sigma_correlation(point) is None
+
+
+def test_bit_sigma_correlation_matches_scipy_with_ties():
+    """The numpy rank implementation must agree with scipy's
+    tie-corrected spearmanr (scipy stays OUT of the study path so a
+    missing dependency can't lose a solved point, but where it exists it
+    is the oracle)."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        # heavy ties, like real per-bit accuracies quantized to k/samples
+        acc = rng.integers(15, 21, size=32) / 20.0
+        sig = np.round(rng.uniform(0.05, 0.3, size=32), 2)
+        point = {"per_bit_acc": acc.tolist(), "band_sigma": sig.tolist()}
+        got = study.bit_sigma_correlation(point)
+        want = float(scipy_stats.spearmanr(acc, sig).statistic)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_auto_chunk_respects_measured_envelope():
+    """chunk*starts stays inside the measured v5e crash envelope at every
+    study grid point, matches the measured-OK operating points, and falls
+    back to restart-chunking for the 256px-wide models where one sample's
+    20 restarts already exceed the budget."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study import (
+        SCALING_MODELS,
+        _auto_chunk,
+    )
+
+    assert _auto_chunk(64, 128, 20) == (10, 0)   # 200 chains, measured OK
+    assert _auto_chunk(128, 128, 20) == (5, 0)   # 100 chains, measured OK
+    assert _auto_chunk(128, 256, 20) == (2, 0)   # 40 chains, measured OK
+    # pruning reinvestment rows (n=40) keep the chain budget
+    c, s = _auto_chunk(128, 128, 40)
+    assert c * 40 <= 100 and s == 0
+    crash_units = 4.2e8  # 100 chains @128px/cm256 crashed
+    for img, cm, _ in SCALING_MODELS:
+        chunk, chunk_starts = _auto_chunk(img, cm, 20)
+        chains = chunk * (chunk_starts or 20)
+        assert chains * img * img * cm < crash_units, (img, cm)
+        assert chunk >= 1
+        if chunk_starts:  # only the models too wide for one full sample
+            assert chunk == 1 and img >= 256
 
 
 def test_study_cli_resume_skips_done(tmp_path, monkeypatch, capsys):
