@@ -4,7 +4,8 @@ PY ?= python
 
 .PHONY: all native test test-fast bench bench_dataload dryrun parity \
         quality_selftrain headline robustness scaling capacity perceptual \
-        polish attackaware report pruning clean
+        polish attackaware report pruning identification bestrecipe \
+        model_attribution clean
 
 all: native
 
@@ -86,6 +87,17 @@ pruning:
 
 identification:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study identification
+
+# Composed best-recipe solver (round-4): pruning-reinvested restarts +
+# soft-sign polish (+ attack-aware disc-feature loss on attacked rows),
+# budget-matched to the headline rows.
+bestrecipe:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study bestrecipe
+
+# Model-level attribution study (round-4): decision accuracy + open-set
+# operating curve over a registry of 4 trained generators + 1 held-out.
+model_attribution:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study model_attribution
 
 # Render every BASELINE.md quality table from the measured study records
 # (no TPU needed --- a mechanical markdown render of result/study_*.jsonl).

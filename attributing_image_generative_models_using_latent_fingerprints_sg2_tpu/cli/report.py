@@ -20,7 +20,8 @@ import sys
 
 RESULT_DIR = "result"
 STUDIES = ["headline", "robustness", "scaling", "perceptual", "polish",
-           "attackaware", "pruning", "capacity", "identification"]
+           "attackaware", "pruning", "bestrecipe", "capacity",
+           "identification", "model_attribution"]
 
 
 def _load(name: str):
@@ -89,15 +90,22 @@ def _baseline_row(name: str, rec, baselines):
         return baselines.get(tag[: -len("_aware")])
     base = tag
     for suffix in ("_polish2_soft", "_polish2_m5", "_polish2",
-                   "_prune20to5", "_n40prune8"):
+                   "_prune20to5", "_n40prune8", "_best"):
         if base.endswith(suffix):
             return baselines.get(base[: -len(suffix)])
     return None
 
 
 def _ab_rows(name: str, recs):
-    src = "robustness" if name == "attackaware" else "headline"
-    baselines = {r["tag"]: r for r in (_load(src) or [])}
+    if name == "bestrecipe":
+        # clean rows pair with headline tags, attacked rows with
+        # robustness tags --- merge both baseline pools
+        src = "headline+robustness"
+        baselines = {r["tag"]: r for r in (_load("headline") or [])}
+        baselines.update({r["tag"]: r for r in (_load("robustness") or [])})
+    else:
+        src = "robustness" if name == "attackaware" else "headline"
+        baselines = {r["tag"]: r for r in (_load(src) or [])}
     rows = []
     for r in sorted(recs, key=lambda r: r["tag"]):
         b = _baseline_row(name, r, baselines)
@@ -118,14 +126,42 @@ def render(name: str, recs) -> str:
     if name == "capacity":
         fmt = lambda v: f"{v:.2f}" if isinstance(v, float) else v
         fmt4 = lambda v: f"{v:.4f}" if isinstance(v, float) else v
+        has_full = any(r.get("mean_bit_acc_full") is not None for r in recs)
         rows = [[r.get("key_len"), r.get("sigma"), fmt(r.get("fid")),
                  fmt(r.get("fid_disc")), fmt4(r.get("watermark_lpips")),
                  fmt4(r.get("watermark_mse")),
                  round(r.get("mean_bit_acc", 0), 4)]
+                + ([fmt4(r.get("mean_bit_acc_full"))] if has_full else [])
                 for r in recs]
+        hdr = ["key_len", "sigma", "watermark FID", "disc-feature FD",
+               "watermark LPIPS", "watermark MSE", "bit acc (500/8)"]
+        if has_full:
+            hdr.append(
+                f"bit acc ({recs[0].get('full_budget', 'full')} budget)")
+        return title + "\n" + _table(rows, hdr)
+    if name == "model_attribution":
+        rows = []
+        for r in recs:
+            lo, hi = r["decision_acc_ci95"]
+            rows.append([
+                r["tag"],
+                f"M={len(r['registry'])}+{len(r['held_out'])} held-out",
+                f"{r['decision_acc']:.3f} [{lo:.2f}, {hi:.2f}]",
+                (f"{r['key_bit_acc_when_decided']:.4f}"
+                 if r.get("key_bit_acc_when_decided") is not None else "-"),
+                f"{r['margin_median_in_dist']:.1f}x",
+                f"FR {r['false_reject_at_threshold']:.3f} / "
+                f"FA {r['false_accept_at_threshold']:.3f}",
+                (f"{r['separation_ratio']:.2g}x"
+                 if r.get("separation_ratio") is not None else "-"),
+                (f"{r['open_set_auc']:.3f}"
+                 if r.get("open_set_auc") is not None else "-"),
+                f"{r.get('wall_s', 0):.0f}s"])
         return title + "\n" + _table(
-            rows, ["key_len", "sigma", "watermark FID", "disc-feature FD",
-                   "watermark LPIPS", "watermark MSE", "mean bit acc"])
+            rows, ["point", "registry", "decision acc [95% CI]",
+                   "key bit acc (when decided)", "median margin",
+                   "open-set @ calibrated thr", "out/in loss sep",
+                   "open-set AUC", "wall"])
     if name == "scaling":
         rows = []
         for r in sorted(recs, key=lambda r: (r["img_size"],

@@ -64,7 +64,8 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("cmd", choices=["headline", "robustness", "scaling",
                                    "capacity", "perceptual", "polish",
                                    "attackaware", "pruning",
-                                   "identification"])
+                                   "identification", "bestrecipe",
+                                   "model_attribution"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -372,13 +373,151 @@ def cmd_polish(args) -> int:
     return _run_points(args, specs, "result/study_polish.json")
 
 
+def cmd_bestrecipe(args) -> int:
+    """The composed best-recipe solver, budget-matched to the headline
+    rows (VERDICT r3 item 3): every round-3 solver improvement stacked
+    in one configuration ---
+
+    - **wider exploration, same compute**: n=50 LHS restarts warmed for
+      25% of the schedule, pruned to the best 10 (executed chain-steps =
+      0.25*2000*50 + 0.75*2000*10 = 40,000/sample = exactly the headline
+      budget of 20 restarts x 2000 steps);
+    - **soft-sign polish** (2 sweeps, 5% accept margin) on the converged
+      state;
+    - on ATTACKED rows additionally **attack-aware solving** (the
+      deterministic channel model in the loss) with the
+      **trained-discriminator perceptual loss** --- the winning mode per
+      attack from study_perceptual.
+
+    Clean rows pair with study_headline, attacked rows with
+    study_robustness (same seeds and budget; the report renders the
+    deltas).  Finding 1 ("failures are optimization failures") predicts
+    the stack is worth real percentage points at the kl=64 wall --- this
+    measures it."""
+    from ..eval import study
+    from ..losses.disc_percept import load_disc_percept
+
+    recipe = {
+        # 0.25*2000*50 + 0.75*2000*10 = 40,000 chain-steps/sample ==
+        # the headline budget (20 x 2000); asserted budget-matched in
+        # tests/test_study_driver.py::test_bestrecipe_specs_budget_matched
+        "n_starts": 50, "prune_starts": 10, "prune_frac": 0.25,
+        "polish_sweeps": 2, "polish_margin": 0.05,
+    }
+    specs = []
+    for img in (64, 128):
+        mk = {"img_size": img, "channel_max": 128, "train_steps": 3000}
+        for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
+            tag = f"{img}px_cm128_t3000_kl{kl}_s{sig:g}_best"
+            specs.append((tag, mk, {"key_len": kl, "sigma": sig, **recipe}))
+
+    # attacked composition at the flagship point: + channel model in the
+    # loss + disc-feature objective (study_perceptual's per-attack winner)
+    mk64 = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
+    _ckpt_box: list = []
+
+    def _disc_factory():
+        if not _ckpt_box:
+            ckpt = study.ensure_trained(
+                img_size=64, channel_max=128, train_steps=3000,
+                cache_dir=args.cache_dir, need_disc=True,
+            )
+            _ckpt_box.append(load_disc_percept(ckpt + ".disc.npz"))
+        return _ckpt_box[0]
+
+    for atk in ("Jpeg", "Crop"):
+        specs.append((
+            f"64px_kl32_s6_{atk}_best", mk64,
+            {"key_len": 32, "sigma": 6.0, "attack": atk,
+             "attack_aware": True, "loss": "perceptual",
+             "_lpips_factory": _disc_factory, **recipe},
+        ))
+    return _run_points(args, specs, "result/study_bestrecipe.json")
+
+
+def cmd_model_attribution(args) -> int:
+    """Measured model-level attribution (VERDICT r3 item 4): a registry
+    of 4 independently trained generators (same recipe, training seeds
+    0-3 --- the hardest closed-set case) plus a held-out generator
+    (seed 4) that is NOT in the registry, probing the open set.  Reports
+    closed-set decision accuracy with CIs, margin distributions, the
+    calibrated open-set operating point, and the full threshold-sweep
+    curve (eval/model_attribution_study.py).  The reference assumes the
+    generator is known (/root/reference/src/main.py:45-89)."""
+    import jax
+
+    from ..eval import study
+    from ..eval.model_attribution_study import model_attribution_point
+
+    out = args.out or "result/study_model_attribution.json"
+    jsonl = out + ".jsonl"
+    done = _load_done(jsonl)
+    recs = list(done.values())
+
+    points = [
+        ("modelattr_64px_kl32_s6", {"key_len": 32, "sigma": 6.0}),
+        ("modelattr_64px_kl64_s6", {"key_len": 64, "sigma": 6.0}),
+    ]
+    pipes_box: dict = {}
+
+    def _pipes():
+        """Registry seeds 0-3 + held-out seed 4, trained + PCA'd once."""
+        if pipes_box:
+            return pipes_box
+        for s in range(5):
+            ckpt = study.ensure_trained(
+                img_size=64, channel_max=128, train_steps=3000,
+                cache_dir=args.cache_dir, seed=s,
+            )
+            name = f"seed{s}"
+            pipes_box[name] = study.build_study_pipeline(
+                ckpt, img_size=64, channel_max=128,
+            )
+        return pipes_box
+
+    for tag, kw in points:
+        if args.only and args.only not in tag:
+            continue
+        if tag in done:
+            print(f"[study] {tag}: cached "
+                  f"(decision acc {done[tag]['decision_acc']:.3f})")
+            continue
+        pipes = _pipes()
+        registry = {n: pipes[n] for n in ("seed0", "seed1", "seed2", "seed3")}
+        held_out = {"seed4": pipes["seed4"]}
+        t0 = time.time()
+        rec = model_attribution_point(
+            registry, held_out,
+            samples_per_model=args.samples,
+            seed=args.seed,
+            chunk_samples=(args.chunk_samples
+                           or _auto_chunk(64, 128, 8)[0]),
+            **kw,
+        )
+        rec["tag"] = tag
+        rec["wall_s"] = round(time.time() - t0, 1)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        recs.append(rec)
+        print(f"[study] {tag}: decision acc {rec['decision_acc']:.3f} "
+              f"(CI {rec['decision_acc_ci95'][0]:.2f}-"
+              f"{rec['decision_acc_ci95'][1]:.2f}), "
+              f"FR@thr {rec['false_reject_at_threshold']:.3f}, "
+              f"FA@thr {rec['false_accept_at_threshold']:.3f}, "
+              f"AUC {rec['open_set_auc']:.3f}, {rec['wall_s']}s")
+    with open(out, "w") as f:
+        json.dump(recs, f, indent=2)
+    print(f"[study] wrote {os.path.abspath(out)} ({len(recs)} points)")
+    return 0
+
+
 def cmd_capacity(args) -> int:
     """Watermark visibility vs accuracy (FID/LPIPS/MSE), fixed budget."""
     import jax
 
     from ..config import AttributionConfig, ModelConfig
     from ..eval import study
-    from ..eval.sweep import run_sweep, sweep_to_json
+    from ..eval.sweep import run_sweep
 
     ckpt = study.ensure_trained(
         img_size=64, channel_max=128, train_steps=3000,
@@ -391,22 +530,50 @@ def cmd_capacity(args) -> int:
         jax.numpy.asarray, unflatten_params(dict(np.load(ckpt + ".disc.npz")))
     )
     mcfg = ModelConfig(img_size=64, channel_max=128, ckpt=ckpt)
+    samples = max(8, args.samples // 2)
     pts = run_sweep(
         jax.random.PRNGKey(args.seed),
         mcfg,
         key_lens=(32, 64),
         sigmas=(3.0, 6.0),
-        samples=max(8, args.samples // 2),
+        samples=samples,
         acfg=AttributionConfig(steps=500, n_starts=8, loss="mse"),
         ckpt_path=ckpt,
         with_fid=True,
         dtype="bfloat16",
         disc_params=disc_params,
     )
+    # Re-solve the same grid (same PRNG key => identical targets) at the
+    # FULL headline budget (steps/n from the CLI, default 2000/20) so the
+    # table reads at the same operating point as the headline rows ---
+    # the round-3 "budget trap" fix (the 500/8 bit-acc column understates
+    # recoverability next to the FID columns).
+    import dataclasses as _dc
+
+    pts_full = run_sweep(
+        jax.random.PRNGKey(args.seed),
+        mcfg,
+        key_lens=(32, 64),
+        sigmas=(3.0, 6.0),
+        samples=samples,
+        acfg=AttributionConfig(steps=args.steps, n_starts=args.n, loss="mse"),
+        ckpt_path=ckpt,
+        with_fid=False,
+        dtype="bfloat16",
+    )
+    recs = [_dc.asdict(p) for p in pts]
+    full_by_key = {(p.key_len, p.sigma, p.shift): p for p in pts_full}
+    for r in recs:
+        fp = full_by_key.get((r["key_len"], r["sigma"], r["shift"]))
+        r["mean_bit_acc_full"] = fp.mean_bit_acc if fp else None
+        r["attribution_acc_full"] = fp.attribution_acc if fp else None
+        r["full_budget"] = f"{args.steps}/{args.n}"
+        r["samples"] = samples
     out = args.out or "result/study_capacity.json"
     with open(out, "w") as f:
-        f.write(sweep_to_json(pts))
-    print(f"[study] wrote {os.path.abspath(out)} ({len(pts)} points)")
+        json.dump(recs, f, indent=2)
+    print(f"[study] wrote {os.path.abspath(out)} ({len(recs)} points, "
+          f"incl. full-budget bit-acc column)")
     return 0
 
 
@@ -423,8 +590,35 @@ def cmd_identification(args) -> int:
     done = _load_done(jsonl)  # crash/resume safe, like every other study
     recs = list(done.values())
     pipe = None
-    for attack in ("None", "Jpeg", "Crop"):  # clean + the two hardest
-        tag = f"ident_64px_kl32_s6_{attack}"
+    # Flagship operating point (kl=32, d_min=6) clean + the two hardest
+    # attacks, then the REFERENCE's key length (kl=64, src/params.py:18,
+    # VERDICT r3 item 5) at both sigmas: d_min=12 is scaled to the
+    # measured per-bit error (p_bit ~0.09-0.18 at kl=64 => ~6-12 expected
+    # flips; hard decoding corrects <=5, so accuracy at large N must come
+    # from SOFT decoding --- exactly what the table measures) and still
+    # GV-packs >=1e5 users (issuance verified: full pairwise min distance
+    # 12 at N=1e5).  Registry sizes reach 1e5: decode is an [N, K] matmul.
+    id_points = [
+        ("kl32_s6_None",
+         dict(key_len=32, sigma=6.0, min_distance=6,
+              registry_sizes=(10, 100, 1000), attack="None")),
+        ("kl32_s6_Jpeg",
+         dict(key_len=32, sigma=6.0, min_distance=6,
+              registry_sizes=(10, 100, 1000), attack="Jpeg")),
+        ("kl32_s6_Crop",
+         dict(key_len=32, sigma=6.0, min_distance=6,
+              registry_sizes=(10, 100, 1000), attack="Crop")),
+        ("kl64_s6_None",
+         dict(key_len=64, sigma=6.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="None")),
+        ("kl64_s3_None",
+         dict(key_len=64, sigma=3.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="None")),
+    ]
+    for suffix, kw in id_points:
+        tag = f"ident_64px_{suffix}"
         if args.only and args.only not in tag:
             continue
         if tag in done:
@@ -442,14 +636,13 @@ def cmd_identification(args) -> int:
         t0 = time.time()
         rec = identification_point(
             pipe,
-            key_len=32, sigma=6.0, min_distance=6,
-            registry_sizes=(10, 100, 1000),
             samples=args.samples, steps=args.steps, n_starts=args.n,
-            seed=args.seed, attack=attack,
+            seed=args.seed,
             chunk_samples=(
                 args.chunk_samples
                 or _auto_chunk(64, 128, max(1, args.n))[0]
             ),
+            **kw,
         )
         rec["tag"] = tag
         rec["wall_s"] = round(time.time() - t0, 1)
@@ -491,6 +684,8 @@ def main(argv=None) -> int:
         "attackaware": cmd_attackaware,
         "pruning": cmd_pruning,
         "identification": cmd_identification,
+        "bestrecipe": cmd_bestrecipe,
+        "model_attribution": cmd_model_attribution,
     }[args.cmd](args)
 
 

@@ -142,3 +142,39 @@ def test_keys_cli(tmp_path, capsys):
     cap = json.loads(capsys.readouterr().out)
     assert cap["soft_accuracy"] > 0.9
     assert 0 <= cap["union_bound_error"] <= 1
+
+
+def test_issue_packed_distance_guarantee_multiword():
+    """key_len > 64 exercises the multi-word packed popcount path; the
+    pairwise-distance guarantee must hold exactly (padding bits must not
+    leak into the distance)."""
+    reg = KeyRegistry.issue(64, 100, min_distance=20, seed=5)
+    k = reg.keys
+    d = (k[:, None, :] != k[None, :, :]).sum(-1)
+    np.fill_diagonal(d, 999)
+    assert d.min() >= 20
+
+
+def test_issue_packed_matches_reference_algorithm():
+    """The packed fast path must issue bit-identical registries to the
+    plain [n, K] int8 rejection sampler for the same seed (the RNG
+    stream is the spec)."""
+    def issue_unpacked(n_users, key_len, min_distance, seed):
+        rng = np.random.default_rng(seed)
+        keys = np.zeros((n_users, key_len), np.int8)
+        n = 0
+        while n < n_users:
+            for _ in range(10000):
+                cand = rng.integers(0, 2, key_len, dtype=np.int8)
+                if n == 0:
+                    break
+                if int(np.abs(keys[:n] - cand).sum(axis=1).min()) >= min_distance:
+                    break
+            keys[n] = cand
+            n += 1
+        return keys
+
+    for kl, d, n, seed in [(32, 6, 200, 0), (64, 12, 100, 7), (20, 4, 50, 3)]:
+        want = issue_unpacked(n, kl, d, seed)
+        got = KeyRegistry.issue(n, kl, min_distance=d, seed=seed).keys
+        np.testing.assert_array_equal(got, want)

@@ -169,3 +169,80 @@ def test_executed_chain_steps_matches_attribute_guards():
     assert executed_chain_steps(1, 20, 5, 0.25) == 20
     # prune_starts >= n_starts disables pruning
     assert executed_chain_steps(100, 4, 4, 0.25) == 400
+
+
+def test_bestrecipe_specs_budget_matched(stubbed, monkeypatch):
+    """The composed recipe must execute EXACTLY the headline chain-step
+    budget on its clean rows (n=50 warmed 25%, pruned to 10), and thread
+    polish + pruning + (on attacked rows) attack-aware disc loss."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.fingerprint.attribute import (
+        executed_chain_steps,
+    )
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.losses import (
+        disc_percept,
+    )
+
+    calls, tmp = stubbed
+    monkeypatch.setattr(
+        disc_percept, "load_disc_percept", lambda path: {"disc": path}
+    )
+    args = _Args(str(tmp), "bestrecipe")
+    args.steps = 2000
+    args.n = 20
+    args.chunk_samples = 0
+    assert study_cli.cmd_bestrecipe(args) == 0
+    assert len(calls) == 8  # 6 clean (2 px x 3 points) + 2 attacked
+    for c in calls:
+        assert c["n_starts"] == 50 and c["prune_starts"] == 10
+        assert c["polish_sweeps"] == 2 and c["polish_margin"] == 0.05
+        # budget parity with the headline rows (20 restarts x 2000 steps)
+        assert executed_chain_steps(
+            c["steps"], c["n_starts"], c["prune_starts"], c["prune_frac"]
+        ) == executed_chain_steps(2000, 20, 0, 0.25)
+        # concurrent-chain envelope still respected at n=50
+        assert c["chunk_samples"] * c["n_starts"] <= 200
+    attacked = [c for c in calls if c.get("attack", "None") != "None"]
+    assert sorted(c["attack"] for c in attacked) == ["Crop", "Jpeg"]
+    for c in attacked:
+        assert c["attack_aware"] is True
+        assert c["loss"] == "perceptual"
+        assert c["lpips_params"] is not None  # disc factory ran
+    out = json.load(open(args.out))
+    assert len({r["tag"] for r in out}) == 8
+
+
+def test_model_attribution_wiring(stubbed, monkeypatch):
+    """5 trained seeds -> registry of 4 + 1 held-out, jsonl resume."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.eval import (
+        model_attribution_study,
+    )
+
+    calls, tmp = stubbed
+    seen = []
+
+    def fake_point(registry, held_out, **kw):
+        seen.append((sorted(registry), sorted(held_out), kw))
+        return {
+            "decision_acc": 1.0, "decision_acc_ci95": [0.8, 1.0],
+            "false_reject_at_threshold": 0.0,
+            "false_accept_at_threshold": 0.0,
+            "open_set_auc": 1.0,
+        }
+
+    monkeypatch.setattr(
+        model_attribution_study, "model_attribution_point", fake_point
+    )
+    args = _Args(str(tmp), "model_attribution")
+    assert study_cli.cmd_model_attribution(args) == 0
+    assert len(seen) == 2  # kl32 + kl64 points
+    for reg, held, kw in seen:
+        assert reg == ["seed0", "seed1", "seed2", "seed3"]
+        assert held == ["seed4"]
+        assert kw["samples_per_model"] == args.samples
+    assert {kw["key_len"] for _, _, kw in seen} == {32, 64}
+    out = json.load(open(args.out))
+    assert len(out) == 2
+    # resume: second run does no work
+    seen.clear()
+    assert study_cli.cmd_model_attribution(args) == 0
+    assert seen == []
