@@ -100,6 +100,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="route eligible upfirdn2d blurs through the Pallas "
                    "TPU kernels instead of XLA convs")
+    p.add_argument("--packed_tail", type=int, default=0,
+                   help="run the last N upsample blocks in the phase-packed "
+                   "coarse layout (the measured 512/1024px lane-starvation "
+                   "fix; numerics identical)")
     p.add_argument("--random_init", action="store_true",
                    help="random generator weights instead of --ckpt (for smoke runs)")
     p.add_argument("--lpips_vgg", type=str, default=None,
@@ -179,6 +183,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mesh_data=args.mesh_data,
             mesh_model=args.mesh_model,
             use_pallas=args.use_pallas,
+            packed_tail=args.packed_tail,
         ),
     )
 
@@ -218,9 +223,11 @@ def apply_runtime_config(cfg: Config) -> None:
 
     Sets (not merely enables) each switch so sequential in-process CLI
     invocations don't inherit a previous run's state."""
+    from ..models.stylegan2 import enable_packed_tail
     from ..ops.upfirdn2d import enable_pallas
 
     enable_pallas(cfg.run.use_pallas)
+    enable_packed_tail(cfg.run.packed_tail)
 
 
 def setup_compile_cache(path: str) -> None:

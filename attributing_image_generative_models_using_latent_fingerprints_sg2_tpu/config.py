@@ -144,6 +144,10 @@ class RunConfig:
     mesh_data: int = 1  # data-parallel mesh axis (samples x starts)
     mesh_model: int = 1  # model-parallel mesh axis (channel sharding)
     use_pallas: bool = False  # use Pallas upfirdn2d kernel where applicable
+    # run the last N upsample blocks in the phase-packed coarse layout
+    # (models/stylegan2.enable_packed_tail): fixes the measured MXU lane
+    # starvation of the C<=64 tail blocks at 512/1024px (gen_roofline)
+    packed_tail: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

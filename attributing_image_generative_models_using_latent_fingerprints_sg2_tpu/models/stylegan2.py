@@ -210,6 +210,64 @@ def _depth_to_space2(y4: jax.Array, out_ch: int) -> jax.Array:
     return y.reshape(b, 2 * h, 2 * w, out_ch)
 
 
+def _space_to_depth2(x: jax.Array, in_ch: int) -> jax.Array:
+    """[B, 2H, 2W, I] -> [B, H, W, 4*I] (phase-major; inverse of
+    :func:`_depth_to_space2`): packed channel (p*2+q)*I + i holds fine
+    pixel (2u+p, 2v+q, i)."""
+    b, h2, w2, _ = x.shape
+    y = x.reshape(b, h2 // 2, 2, w2 // 2, 2, in_ch)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(b, h2 // 2, w2 // 2, 4 * in_ch)
+
+
+def _compose_packed_conv3x3_kernel(w_stored: jax.Array) -> jax.Array:
+    """Respell a 3x3 SAME conv at fine resolution as one conv over the
+    phase-packed coarse layout: [3, 3, I, O] -> [3, 3, 4I, 4O].
+
+    Fine output pixel (2u+p, 2v+q) tap (a, b) reads fine row
+    2u + p + a - 1 = 2(u + A) + p_in with A = floor((p+a-1)/2) and
+    p_in = (p+a-1) mod 2 --- i.e. coarse offset A in {-1, 0, 1} and an
+    input PHASE channel, so the whole stencil is a 3x3 conv over the
+    packed [.., 4I] tensor (half-dense: 36 of 81 phase cells are
+    nonzero; the zeros are issued as MACs, which is the point --- at
+    C=32 the MXU pads both channel dims to 128 lanes and runs at ~6%
+    utilization (measured 8.8 TF/s on the 1024px tail block,
+    bench.py --preset gen_roofline), so trading 2.25x issued FLOPs for
+    16x lane utilization is a large net win).  Boundary exact: padded
+    coarse cells expand to exactly the fine zero-pad rows the unpacked
+    conv reads.
+    """
+    kh, kw, cin, cout = w_stored.shape
+    assert kh == 3 and kw == 3
+    K = jnp.zeros((3, 3, 4 * cin, 4 * cout), w_stored.dtype)
+    for p in range(2):
+        for q in range(2):
+            for a in range(3):
+                for b in range(3):
+                    A, pi = divmod(p + a - 1, 2)
+                    B, qi = divmod(q + b - 1, 2)
+                    K = K.at[
+                        A + 1, B + 1,
+                        (pi * 2 + qi) * cin : (pi * 2 + qi + 1) * cin,
+                        (p * 2 + q) * cout : (p * 2 + q + 1) * cout,
+                    ].add(w_stored[a, b])
+    return K
+
+
+def _tile_phase(v: jax.Array, reps: int = 4) -> jax.Array:
+    """[..., C] -> [..., reps*C] phase-major (phase index outermost)."""
+    return jnp.concatenate([v] * reps, axis=-1)
+
+
+def _pack_noise(noise: Optional[jax.Array], out_ch: int) -> Optional[jax.Array]:
+    """Fine noise map [1, 2H, 2W, 1] -> packed [1, H, W, 4*out_ch]: each
+    phase's noise value broadcast across that phase's channel block."""
+    if noise is None:
+        return None
+    n4 = _space_to_depth2(noise, noise.shape[-1])  # [1, H, W, 4]
+    return jnp.repeat(n4, out_ch, axis=-1)  # channel = phase*O + o
+
+
 # Process-global switch for the polyphase fused upsample path (see
 # _compose_polyphase_up_kernel): measured slower at 256px attribution
 # (depth-to-space relayout), re-measurable per workload via
@@ -365,6 +423,146 @@ def to_rgb(
 
 
 # ---------------------------------------------------------------------------
+# Packed-phases tail blocks (the 1024px lane-starvation fix)
+# ---------------------------------------------------------------------------
+# Measured (bench.py --preset gen_roofline, v5e, batch 8 bf16): the final
+# 1024px block (C=32) is 71% of generation time at 8.8 TF/s --- 16x above
+# its HBM floor and ~23x below the MXU roof, because a C=32 conv fills
+# 32/128 lanes on BOTH the contraction and output dims ((32/128)^2 ~ 6%
+# of the array).  The fix is to never materialize the lane-starved fine
+# layout: run the whole block at coarse resolution with the 4 output
+# phases packed into channels (C_eff = 4C = 128 lanes exactly at C=32):
+#
+#   up conv + blur   one dense [3,3,I,4O] conv (the verified polyphase
+#                    compose, _compose_polyphase_up_kernel) --- the blur
+#                    pass disappears into the weights;
+#   3x3 conv         one [3,3,4I,4O] conv over the packed layout
+#                    (_compose_packed_conv3x3_kernel, half-dense);
+#   noise/bias/act   exact per-phase equivalents (space-to-depth of the
+#                    noise buffer, channel-tiled bias/demod);
+#   ToRGB            block-diagonal [1,1,4I,12] conv, skip-sum after one
+#                    cheap depth-to-space of the 12-channel RGB.
+#
+# Numerics are exactly the default path's (same taps, same pad semantics;
+# golden-tested in tests/test_stylegan2.py) --- only the layout changes.
+_PACKED_TAIL = 0  # number of trailing upsample blocks to run packed
+_PACKED_TAIL_MAX_CH = 128  # pack only where 4*C stays MXU-sized
+
+
+def enable_packed_tail(n_blocks: int = 1) -> None:
+    """Run the last ``n_blocks`` upsample blocks in the phase-packed
+    layout (0 = default path everywhere).  Trace-time switch."""
+    global _PACKED_TAIL
+    if int(n_blocks) != _PACKED_TAIL:
+        jax.clear_caches()
+    _PACKED_TAIL = int(n_blocks)
+
+
+def _modulated_conv2d_packed(
+    x4: jax.Array,
+    w_latent: jax.Array,
+    p: Params,
+    kernel4: jax.Array,
+    *,
+    demodulate: bool,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Modulated conv on the phase-packed layout.
+
+    ``kernel4`` is the composed packed kernel built from the ORIGINAL
+    stored weight (already including the equalized-LR scale); style
+    modulation and demodulation are computed from the original weight
+    exactly as in :func:`modulated_conv2d` and tiled phase-major, which
+    is exact because every phase block of the composed kernel is a
+    permutation of the original taps (same per-(i, o) energy).
+    """
+    weight = p["weight"]
+    kh, kw, cin, cout = weight.shape
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    style = equal_linear(w_latent, p["mod"])  # [B, I]
+    reps = x4.shape[-1] // cin
+    xs4 = x4 * _tile_phase(style, reps)[:, None, None, :].astype(x4.dtype)
+    pad_h = kernel4.shape[0] // 2
+    pad_w = kernel4.shape[1] // 2
+    y4 = lax.conv_general_dilated(
+        xs4,
+        kernel4.astype(x4.dtype),
+        window_strides=(1, 1),
+        padding=((pad_h, pad_h), (pad_w, pad_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if demodulate:
+        w2 = jnp.sum(jnp.square(weight * scale), axis=(0, 1))  # [I, O]
+        denom = jnp.dot(jnp.square(style), w2) + eps  # [B, O]
+        d4 = _tile_phase(lax.rsqrt(denom))  # [B, 4O] phase-major
+        y4 = y4 * d4[:, None, None, :].astype(y4.dtype)
+    return y4
+
+
+def _to_rgb_packed_kernel(weight: jax.Array) -> jax.Array:
+    """[1, 1, I, 3] -> block-diagonal [1, 1, 4I, 12] (phase p reads only
+    phase p's input block and writes phase p's RGB block)."""
+    _, _, cin, cout = weight.shape
+    K = jnp.zeros((1, 1, 4 * cin, 4 * cout), weight.dtype)
+    for ph in range(4):
+        K = K.at[0, 0, ph * cin : (ph + 1) * cin,
+                 ph * cout : (ph + 1) * cout].set(weight[0, 0])
+    return K
+
+
+def _packed_tail_block(
+    out: jax.Array,
+    skip: Optional[jax.Array],
+    lat_a: jax.Array,
+    lat_b: jax.Array,
+    lat_rgb: jax.Array,
+    n1: Optional[jax.Array],
+    n2: Optional[jax.Array],
+    p_up: Params,
+    p_conv: Params,
+    p_rgb: Params,
+    blur_kernel: Sequence[int],
+    *,
+    unpack_out: bool,
+) -> Tuple[Optional[jax.Array], jax.Array]:
+    """One upsample block (StyledConv(up) + StyledConv + ToRGB-skip) in
+    the phase-packed coarse layout.  Input ``out`` is the unpacked coarse
+    feature map; returns (next ``out`` in fine layout if ``unpack_out``
+    else None, fine skip).  Numerically identical to :func:`synthesis`'s
+    default block (tests/test_stylegan2.py::test_packed_tail_*)."""
+    kh, kw, cin, cout = p_up["weight"].shape
+    scale_up = 1.0 / math.sqrt(cin * kh * kw)
+    D = (_compose_polyphase_up_kernel(p_up["weight"], blur_kernel)
+         * scale_up)
+    # up conv consumes the UNPACKED coarse map (reps=1 style tiling)
+    y4 = _modulated_conv2d_packed(out, lat_a, p_up, D, demodulate=True)
+    n1p = _pack_noise(n1, cout)
+    if n1p is not None:
+        y4 = y4 + p_up["noise_weight"].astype(y4.dtype) * n1p.astype(y4.dtype)
+    y4 = fused_leaky_relu(y4, _tile_phase(p_up["act_bias"]).astype(y4.dtype))
+
+    kh2, kw2, cin2, cout2 = p_conv["weight"].shape
+    scale2 = 1.0 / math.sqrt(cin2 * kh2 * kw2)
+    K2 = _compose_packed_conv3x3_kernel(p_conv["weight"] * scale2)
+    z4 = _modulated_conv2d_packed(y4, lat_b, p_conv, K2, demodulate=True)
+    n2p = _pack_noise(n2, cout2)
+    if n2p is not None:
+        z4 = z4 + p_conv["noise_weight"].astype(z4.dtype) * n2p.astype(z4.dtype)
+    z4 = fused_leaky_relu(z4, _tile_phase(p_conv["act_bias"]).astype(z4.dtype))
+
+    _, _, cin_r, cout_r = p_rgb["weight"].shape
+    scale_r = 1.0 / math.sqrt(cin_r)
+    KR = _to_rgb_packed_kernel(p_rgb["weight"] * scale_r)
+    rgb4 = _modulated_conv2d_packed(z4, lat_rgb, p_rgb, KR, demodulate=False)
+    rgb4 = rgb4 + _tile_phase(p_rgb["bias"]).astype(rgb4.dtype)
+    rgb = _depth_to_space2(rgb4, cout_r)
+    if skip is not None:
+        rgb = rgb + upsample2x(skip, blur_kernel)
+    nxt = _depth_to_space2(z4, cout2) if unpack_out else None
+    return nxt, rgb
+
+
+# ---------------------------------------------------------------------------
 # Mapping network & synthesis
 # ---------------------------------------------------------------------------
 
@@ -413,15 +611,42 @@ def synthesis(
         skip = to_rgb(out, lat_rgb, p_rgb, skip, blur_kernel=blur_kernel)
         return out, skip
 
+    def block_packed_keep(out, skip, lat_a, lat_b, lat_rgb, n1, n2, p_up, p_conv, p_rgb):
+        return _packed_tail_block(
+            out, skip, lat_a, lat_b, lat_rgb, n1, n2, p_up, p_conv, p_rgb,
+            blur_kernel, unpack_out=True,
+        )
+
+    def block_packed_last(out, skip, lat_a, lat_b, lat_rgb, n1, n2, p_up, p_conv, p_rgb):
+        return _packed_tail_block(
+            out, skip, lat_a, lat_b, lat_rgb, n1, n2, p_up, p_conv, p_rgb,
+            blur_kernel, unpack_out=False,
+        )
+
     if remat:
         block = jax.checkpoint(block, static_argnums=())
+        block_packed_keep = jax.checkpoint(block_packed_keep, static_argnums=())
+        block_packed_last = jax.checkpoint(block_packed_last, static_argnums=())
 
     i = 1
     n_blocks = len(params["to_rgbs"])
     if max_blocks is not None:
         n_blocks = max(0, min(n_blocks, max_blocks))
     for idx in range(n_blocks):
-        out, skip = block(
+        p_up = params["convs"][2 * idx]
+        # phase-packed tail (see enable_packed_tail): only where the
+        # packed width 4*C stays MXU-sized --- larger blocks already run
+        # lane-full on the default path
+        packed = (
+            _PACKED_TAIL > 0
+            and idx >= n_blocks - _PACKED_TAIL
+            and p_up["weight"].shape[3] <= _PACKED_TAIL_MAX_CH
+        )
+        fn = (
+            (block_packed_last if idx == n_blocks - 1 else block_packed_keep)
+            if packed else block
+        )
+        out, skip = fn(
             out,
             skip,
             latent[:, i],
@@ -429,7 +654,7 @@ def synthesis(
             latent[:, i + 2],
             noise[1 + 2 * idx],
             noise[2 + 2 * idx],
-            params["convs"][2 * idx],
+            p_up,
             params["convs"][2 * idx + 1],
             params["to_rgbs"][idx],
         )

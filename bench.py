@@ -1042,6 +1042,10 @@ def main() -> int:
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     parser.add_argument("--blur_one_pass", action="store_true",
                         help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
+    parser.add_argument("--packed_tail", type=int, default=0,
+                        help="run the last N upsample blocks in the "
+                             "phase-packed coarse layout (the 1024px "
+                             "lane-starvation fix; see gen_roofline)")
     parser.add_argument("--polyphase_up", action="store_true",
                         help="shifted-add polyphase spelling of the ToRGB-skip "
                              "2x upsample instead of the lhs-dilated conv (A/B)")
@@ -1134,6 +1138,12 @@ def main() -> int:
         )
 
         enable_polyphase_upsample(True)
+    if args.packed_tail:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
+            enable_packed_tail,
+        )
+
+        enable_packed_tail(args.packed_tail)
 
     last_err: Exception | None = None
     for attempt in range(RETRIES):

@@ -291,3 +291,101 @@ def test_generate_noise_modes():
     assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 1e-6  # fresh per key
     assert np.abs(np.asarray(r1) - np.asarray(none_img)).max() > 1e-6
     assert np.abs(np.asarray(buf_img) - np.asarray(none_img)).max() >= 0  # buffers init zero or random
+
+
+class TestPackedTail:
+    """The phase-packed tail blocks (enable_packed_tail) must be
+    numerically identical to the default synthesis path --- same taps,
+    same pad semantics, only the layout changes."""
+
+    def _setup(self, img_size=32, channel_max=32, n_pack=1):
+        cfg = ModelConfig(img_size=img_size, channel_max=channel_max,
+                          n_mlp=2, style_dim=32)
+        params = sg2.init_generator_params(jax.random.PRNGKey(0), cfg)
+        # make noise injection + all biases active so every packed
+        # epilogue term is exercised
+        params["convs"] = tuple(
+            dict(p, noise_weight=jnp.asarray(0.7)) for p in params["convs"]
+        )
+        nl = sg2.n_latent(cfg.img_size)
+        w = jax.random.normal(jax.random.PRNGKey(1), (2, nl, cfg.style_dim))
+        return cfg, params, w
+
+    def _noise_for(self, cfg):
+        # same construction as fingerprint.pipeline: one map per layer,
+        # resolution doubling every 2 layers starting at 4
+        shapes = []
+        log = int(np.log2(cfg.img_size))
+        for layer in range(2 * log - 2):
+            res = 2 ** ((layer + 5) // 2)
+            shapes.append((1, res, res, 1))
+        return tuple(
+            jax.random.normal(jax.random.PRNGKey(100 + i), s)
+            for i, s in enumerate(shapes)
+        )
+
+    @pytest.mark.parametrize("n_pack", [1, 2])
+    def test_forward_matches_default(self, n_pack):
+        cfg, params, w = self._setup()
+        noise = self._noise_for(cfg)
+        try:
+            sg2.enable_packed_tail(0)
+            want = sg2.synthesis(params, w, noise)
+            sg2.enable_packed_tail(n_pack)
+            got = sg2.synthesis(params, w, noise)
+        finally:
+            sg2.enable_packed_tail(0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-5
+        )
+
+    def test_grad_matches_default(self):
+        cfg, params, w = self._setup()
+        noise = self._noise_for(cfg)
+
+        def loss(w):
+            img = sg2.synthesis(params, w, noise)
+            return jnp.mean(img ** 2)
+
+        try:
+            sg2.enable_packed_tail(0)
+            g_want = np.asarray(jax.grad(loss)(w))
+            sg2.enable_packed_tail(1)
+            g_got = np.asarray(jax.grad(loss)(w))
+        finally:
+            sg2.enable_packed_tail(0)
+        np.testing.assert_allclose(g_got, g_want, rtol=0, atol=3e-5)
+
+    def test_channel_cap_leaves_wide_blocks_default(self):
+        """Blocks wider than _PACKED_TAIL_MAX_CH must take the default
+        path even inside the packed tail window (identical output is
+        trivially true; assert the dispatch logic via a narrow cap)."""
+        cfg, params, w = self._setup(channel_max=32)
+        noise = self._noise_for(cfg)
+        try:
+            old = sg2._PACKED_TAIL_MAX_CH
+            sg2._PACKED_TAIL_MAX_CH = 1  # nothing qualifies
+            sg2.enable_packed_tail(2)
+            got = sg2.synthesis(params, w, noise)
+            sg2._PACKED_TAIL_MAX_CH = old
+            sg2.enable_packed_tail(0)
+            want = sg2.synthesis(params, w, noise)
+        finally:
+            sg2._PACKED_TAIL_MAX_CH = old
+            sg2.enable_packed_tail(0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_remat_packed(self):
+        cfg, params, w = self._setup()
+        noise = self._noise_for(cfg)
+
+        def loss(w):
+            img = sg2.synthesis(params, w, noise, remat=True)
+            return jnp.mean(img ** 2)
+
+        try:
+            sg2.enable_packed_tail(1)
+            g = np.asarray(jax.grad(loss)(w))
+        finally:
+            sg2.enable_packed_tail(0)
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
