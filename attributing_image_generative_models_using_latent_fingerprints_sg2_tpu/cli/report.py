@@ -140,6 +140,22 @@ def render(name: str, recs) -> str:
                 f"bit acc ({recs[0].get('full_budget', 'full')} budget)")
         return title + "\n" + _table(rows, hdr)
     if name == "model_attribution":
+        def _margin_op_point(r, max_fr=0.05):
+            """Deployable margin-rule operating point from the recorded
+            sweep: the largest accept threshold with FR <= max_fr (FR is
+            monotone increasing in thr, FA decreasing, so this minimizes
+            FA subject to the FR budget)."""
+            sweep = r.get("margin_open_set_sweep")
+            if not sweep:
+                return "-"
+            ok = [p for p in sweep if p["false_reject"] <= max_fr
+                  and p.get("false_accept") is not None]
+            if not ok:
+                return "-"
+            best = max(ok, key=lambda p: p["threshold"])
+            return (f"FR {best['false_reject']:.3f} / "
+                    f"FA {best['false_accept']:.3f} "
+                    f"(m>={best['threshold']:.2f})")
         rows = []
         for r in recs:
             lo, hi = r["decision_acc_ci95"]
@@ -152,16 +168,17 @@ def render(name: str, recs) -> str:
                 f"{r['margin_median_in_dist']:.1f}x",
                 f"FR {r['false_reject_at_threshold']:.3f} / "
                 f"FA {r['false_accept_at_threshold']:.3f}",
-                (f"{r['separation_ratio']:.2g}x"
-                 if r.get("separation_ratio") is not None else "-"),
+                _margin_op_point(r),
                 (f"{r['open_set_auc']:.3f}"
                  if r.get("open_set_auc") is not None else "-"),
+                (f"{r['margin_open_set_auc']:.3f}"
+                 if r.get("margin_open_set_auc") is not None else "-"),
                 f"{r.get('wall_s', 0):.0f}s"])
         return title + "\n" + _table(
             rows, ["point", "registry", "decision acc [95% CI]",
-                   "key bit acc (when decided)", "median margin",
-                   "open-set @ calibrated thr", "out/in loss sep",
-                   "open-set AUC", "wall"])
+                   "key bit acc (when decided)", "median margin (in)",
+                   "open-set @ loss thr", "margin rule @ FR<=0.05",
+                   "loss AUC", "margin AUC", "wall"])
     if name == "scaling":
         rows = []
         for r in sorted(recs, key=lambda r: (r["img_size"],

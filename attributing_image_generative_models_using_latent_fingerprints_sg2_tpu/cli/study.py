@@ -504,7 +504,9 @@ def cmd_model_attribution(args) -> int:
               f"{rec['decision_acc_ci95'][1]:.2f}), "
               f"FR@thr {rec['false_reject_at_threshold']:.3f}, "
               f"FA@thr {rec['false_accept_at_threshold']:.3f}, "
-              f"AUC {rec['open_set_auc']:.3f}, {rec['wall_s']}s")
+              f"loss AUC {rec['open_set_auc']:.3f}, "
+              f"margin AUC {rec.get('margin_open_set_auc', float('nan')):.3f}, "
+              f"{rec['wall_s']}s")
     with open(out, "w") as f:
         json.dump(recs, f, indent=2)
     print(f"[study] wrote {os.path.abspath(out)} ({len(recs)} points)")

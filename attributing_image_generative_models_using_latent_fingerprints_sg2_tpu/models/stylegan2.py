@@ -228,14 +228,14 @@ def _compose_packed_conv3x3_kernel(w_stored: jax.Array) -> jax.Array:
     2u + p + a - 1 = 2(u + A) + p_in with A = floor((p+a-1)/2) and
     p_in = (p+a-1) mod 2 --- i.e. coarse offset A in {-1, 0, 1} and an
     input PHASE channel, so the whole stencil is a 3x3 conv over the
-    packed [.., 4I] tensor (half-dense: 36 of 81 phase cells are
-    nonzero; the zeros are issued as MACs, which is the point --- at
-    C=32 the MXU pads both channel dims to 128 lanes and runs at ~6%
-    utilization (measured 8.8 TF/s on the 1024px tail block,
-    bench.py --preset gen_roofline), so trading 2.25x issued FLOPs for
-    16x lane utilization is a large net win).  Boundary exact: padded
-    coarse cells expand to exactly the fine zero-pad rows the unpacked
-    conv reads.
+    packed [.., 4I] tensor (quarter-dense: 36 of the 144 (tap, phase_in,
+    phase_out) cells are nonzero; the zeros are issued as MACs, which is
+    the point --- at C=32 the MXU pads both channel dims to 128 lanes
+    and runs at ~6% utilization (measured 8.8 TF/s on the 1024px tail
+    block, bench.py --preset gen_roofline), so trading 4x issued FLOPs
+    for 16x lane utilization is still a ~4x net win on the MXU rate,
+    plus the layout savings).  Boundary exact: padded coarse cells
+    expand to exactly the fine zero-pad rows the unpacked conv reads.
     """
     kh, kw, cin, cout = w_stored.shape
     assert kh == 3 and kw == 3
@@ -437,7 +437,7 @@ def to_rgb(
 #                    compose, _compose_polyphase_up_kernel) --- the blur
 #                    pass disappears into the weights;
 #   3x3 conv         one [3,3,4I,4O] conv over the packed layout
-#                    (_compose_packed_conv3x3_kernel, half-dense);
+#                    (_compose_packed_conv3x3_kernel, quarter-dense);
 #   noise/bias/act   exact per-phase equivalents (space-to-depth of the
 #                    noise buffer, channel-tiled bias/demod);
 #   ToRGB            block-diagonal [1,1,4I,12] conv, skip-sum after one

@@ -74,6 +74,16 @@ def test_open_set_separation_and_curve(point):
     fa = [p["false_accept"] for p in sweep]
     assert all(a >= b for a, b in zip(fr, fr[1:]))
     assert all(a <= b for a, b in zip(fa, fa[1:]))
+    # margin-based rule (accept when margin >= thr): random-init
+    # generators separate by margin too (in-dist margins are >3 by the
+    # closed-set assertion; out-dist margins among equally-bad registry
+    # fits are near 1, but at 4 held-out samples allow slack)
+    assert point["margin_open_set_auc"] >= 0.75
+    msweep = point["margin_open_set_sweep"]
+    assert msweep[0]["false_reject"] == 0.0  # tiny thr accepts all
+    assert msweep[0]["false_accept"] == 1.0
+    assert msweep[-1]["false_reject"] == 1.0  # huge thr rejects all
+    assert msweep[-1]["false_accept"] == 0.0
 
 
 def test_per_model_rows(point):
