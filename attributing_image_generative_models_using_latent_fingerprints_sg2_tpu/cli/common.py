@@ -100,10 +100,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="route eligible upfirdn2d blurs through the Pallas "
                    "TPU kernels instead of XLA convs")
-    p.add_argument("--packed_tail", type=int, default=0,
+    p.add_argument("--packed_tail", type=int, default=-1,
                    help="run the last N upsample blocks in the phase-packed "
-                   "coarse layout (the measured 512/1024px lane-starvation "
-                   "fix; numerics identical)")
+                   "coarse layout (the measured 1024px lane-starvation fix; "
+                   "numerics identical). -1 = auto: 1 when img_size >= 1024 "
+                   "(measured +54%% generation / +20%% attribution), else 0; "
+                   "0 disables")
     p.add_argument("--random_init", action="store_true",
                    help="random generator weights instead of --ckpt (for smoke runs)")
     p.add_argument("--lpips_vgg", type=str, default=None,
@@ -183,7 +185,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mesh_data=args.mesh_data,
             mesh_model=args.mesh_model,
             use_pallas=args.use_pallas,
-            packed_tail=args.packed_tail,
+            # -1 = auto: the measured packed-tail policy (pack the final
+            # C<=32 block at >=1024px; packing the 512px C=64 block
+            # measured -1.8%, smaller models have no C<=32 blocks)
+            packed_tail=(args.packed_tail if args.packed_tail >= 0
+                         else (1 if args.img_size >= 1024 else 0)),
         ),
     )
 

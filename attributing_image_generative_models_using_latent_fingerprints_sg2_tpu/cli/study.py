@@ -198,9 +198,14 @@ def _run_points(args, point_specs, out_default: str) -> int:
 
 
 def cmd_headline(args) -> int:
-    """Flagship operating points with real statistics (n >= 20)."""
+    """Flagship operating points with real statistics (n >= 20).
+
+    256px is the reference's default img_size (/root/reference/src/
+    params.py:12); its rows run at the same solver budget (the auto
+    chunker serializes samples to stay inside the memory envelope)."""
     specs = []
-    for img, cm, ts in [(64, 128, 3000), (128, 128, 3000)]:
+    for img, cm, ts in [(64, 128, 3000), (128, 128, 3000),
+                        (256, 128, 3000)]:
         mk = {"img_size": img, "channel_max": cm, "train_steps": ts}
         for kl, sig in [(32, 6.0), (64, 3.0), (64, 6.0)]:
             tag = f"{img}px_cm{cm}_t{ts}_kl{kl}_s{sig:g}"
@@ -505,7 +510,8 @@ def cmd_model_attribution(args) -> int:
               f"FR@thr {rec['false_reject_at_threshold']:.3f}, "
               f"FA@thr {rec['false_accept_at_threshold']:.3f}, "
               f"loss AUC {rec['open_set_auc']:.3f}, "
-              f"margin AUC {rec.get('margin_open_set_auc', float('nan')):.3f}, "
+              f"margin AUC "
+              f"{rec.get('margin_open_set_auc') or float('nan'):.3f}, "
               f"{rec['wall_s']}s")
     with open(out, "w") as f:
         json.dump(recs, f, indent=2)
@@ -618,6 +624,17 @@ def cmd_identification(args) -> int:
          dict(key_len=64, sigma=3.0, min_distance=12,
               registry_sizes=(10, 100, 1000, 10000, 100000),
               attack="None")),
+        # capacity under attack at the reference key length (s3 is the
+        # measured better kl=64 operating point: lower p_bit because the
+        # target stays on-manifold)
+        ("kl64_s3_Jpeg",
+         dict(key_len=64, sigma=3.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="Jpeg")),
+        ("kl64_s3_Crop",
+         dict(key_len=64, sigma=3.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="Crop")),
     ]
     for suffix, kw in id_points:
         tag = f"ident_64px_{suffix}"

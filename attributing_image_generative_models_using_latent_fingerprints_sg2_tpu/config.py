@@ -146,7 +146,11 @@ class RunConfig:
     use_pallas: bool = False  # use Pallas upfirdn2d kernel where applicable
     # run the last N upsample blocks in the phase-packed coarse layout
     # (models/stylegan2.enable_packed_tail): fixes the measured MXU lane
-    # starvation of the C<=64 tail blocks at 512/1024px (gen_roofline)
+    # starvation of the C=32 final block at 1024px (gen_roofline: MFU
+    # 0.044 -> +54% imgs/s packed).  The CLIs default to -1 = auto
+    # (resolved in cli/common.build_config: 1 at img_size >= 1024, else
+    # 0 -- packing the C=64 512px block measured -1.8%); this resolved
+    # field holds the explicit block count.
     packed_tail: int = 0
 
 

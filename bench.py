@@ -1042,10 +1042,14 @@ def main() -> int:
                         help="polyphase fused upsample conv (A/B vs lhs_dilation)")
     parser.add_argument("--blur_one_pass", action="store_true",
                         help="one-pass 4x4 blur instead of 2 separable passes (A/B)")
-    parser.add_argument("--packed_tail", type=int, default=0,
+    parser.add_argument("--packed_tail", type=int, default=-1,
                         help="run the last N upsample blocks in the "
                              "phase-packed coarse layout (the 1024px "
-                             "lane-starvation fix; see gen_roofline)")
+                             "lane-starvation fix; see gen_roofline). "
+                             "-1 = auto: 1 at >=1024px (measured +54%% "
+                             "generation, +20%% attribution), 0 below "
+                             "(packing the C=64 512px block measured "
+                             "-1.8%%); 0 disables")
     parser.add_argument("--polyphase_up", action="store_true",
                         help="shifted-add polyphase spelling of the ToRGB-skip "
                              "2x upsample instead of the lhs-dilated conv (A/B)")
@@ -1138,6 +1142,14 @@ def main() -> int:
         )
 
         enable_polyphase_upsample(True)
+    if args.packed_tail < 0:
+        # auto: pack the final block only where the tail is measured
+        # lane-starved (the C_out<=32 block of >=1024px synthesis)
+        eff_size = {"1024px": 1024,
+                    "generate": args.gen_size or 1024,
+                    "gen_roofline": args.gen_size or 1024}.get(
+                        args.preset, args.gen_size or 256)
+        args.packed_tail = 1 if eff_size >= 1024 else 0
     if args.packed_tail:
         from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
             enable_packed_tail,

@@ -297,3 +297,22 @@ def test_generate_cli_mesh_path(tmp_path, capsys):
             break
     else:
         raise AssertionError("no run dir written")
+
+
+def test_packed_tail_auto_resolution():
+    """--packed_tail defaults to -1 = auto: resolved at config build to
+    the measured policy (pack the final block at >=1024px, nothing
+    below; explicit values pass through)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.common import (
+        build_parser,
+        config_from_args,
+    )
+
+    def resolved(extra):
+        args = build_parser("t").parse_args(["--random_init"] + extra)
+        return config_from_args(args).run.packed_tail
+
+    assert resolved(["--img_size", "1024"]) == 1
+    assert resolved(["--img_size", "256"]) == 0
+    assert resolved(["--img_size", "1024", "--packed_tail", "0"]) == 0
+    assert resolved(["--img_size", "256", "--packed_tail", "2"]) == 2
