@@ -50,7 +50,7 @@ from jax import lax
 
 from ..config import ModelConfig
 from ..ops.fused_act import fused_leaky_relu
-from ..ops.upfirdn2d import make_kernel, upfirdn2d, upsample2x
+from ..ops.upfirdn2d import make_kernel, pack_upsample2x, upfirdn2d, upsample2x
 
 Params = Dict[str, Any]
 
@@ -259,13 +259,24 @@ def _tile_phase(v: jax.Array, reps: int = 4) -> jax.Array:
     return jnp.concatenate([v] * reps, axis=-1)
 
 
-def _pack_noise(noise: Optional[jax.Array], out_ch: int) -> Optional[jax.Array]:
-    """Fine noise map [1, 2H, 2W, 1] -> packed [1, H, W, 4*out_ch]: each
-    phase's noise value broadcast across that phase's channel block."""
+def _add_packed_noise(
+    y4: jax.Array,
+    noise: Optional[jax.Array],
+    noise_weight: jax.Array,
+    out_ch: int,
+) -> jax.Array:
+    """Add a fine noise map [1, 2H, 2W, 1] to the packed [B, H, W, 4*O]
+    activation: space-to-depth the noise to [1, H, W, 4] and broadcast it
+    across each phase's channel block via a free minor-dim reshape ---
+    no [.., 4*O] noise tensor is ever materialized (the repeat spelling
+    wrote a full activation-sized buffer at 1024px)."""
     if noise is None:
-        return None
+        return y4
     n4 = _space_to_depth2(noise, noise.shape[-1])  # [1, H, W, 4]
-    return jnp.repeat(n4, out_ch, axis=-1)  # channel = phase*O + o
+    b, h, w, c4 = y4.shape
+    y = y4.reshape(b, h, w, 4, out_ch)
+    y = y + (noise_weight.astype(y4.dtype) * n4.astype(y4.dtype))[..., None]
+    return y.reshape(b, h, w, c4)
 
 
 # Process-global switch for the polyphase fused upsample path (see
@@ -536,18 +547,14 @@ def _packed_tail_block(
          * scale_up)
     # up conv consumes the UNPACKED coarse map (reps=1 style tiling)
     y4 = _modulated_conv2d_packed(out, lat_a, p_up, D, demodulate=True)
-    n1p = _pack_noise(n1, cout)
-    if n1p is not None:
-        y4 = y4 + p_up["noise_weight"].astype(y4.dtype) * n1p.astype(y4.dtype)
+    y4 = _add_packed_noise(y4, n1, p_up["noise_weight"], cout)
     y4 = fused_leaky_relu(y4, _tile_phase(p_up["act_bias"]).astype(y4.dtype))
 
     kh2, kw2, cin2, cout2 = p_conv["weight"].shape
     scale2 = 1.0 / math.sqrt(cin2 * kh2 * kw2)
     K2 = _compose_packed_conv3x3_kernel(p_conv["weight"] * scale2)
     z4 = _modulated_conv2d_packed(y4, lat_b, p_conv, K2, demodulate=True)
-    n2p = _pack_noise(n2, cout2)
-    if n2p is not None:
-        z4 = z4 + p_conv["noise_weight"].astype(z4.dtype) * n2p.astype(z4.dtype)
+    z4 = _add_packed_noise(z4, n2, p_conv["noise_weight"], cout2)
     z4 = fused_leaky_relu(z4, _tile_phase(p_conv["act_bias"]).astype(z4.dtype))
 
     _, _, cin_r, cout_r = p_rgb["weight"].shape
@@ -555,9 +562,23 @@ def _packed_tail_block(
     KR = _to_rgb_packed_kernel(p_rgb["weight"] * scale_r)
     rgb4 = _modulated_conv2d_packed(z4, lat_rgb, p_rgb, KR, demodulate=False)
     rgb4 = rgb4 + _tile_phase(p_rgb["bias"]).astype(rgb4.dtype)
-    rgb = _depth_to_space2(rgb4, cout_r)
     if skip is not None:
-        rgb = rgb + upsample2x(skip, blur_kernel)
+        # Fold the ToRGB skip sum into the packed epilogue: the skip's 2x
+        # upsample-blur is a 2x2 polyphase (pack_upsample2x), so the sum
+        # happens at COARSE resolution and the block does exactly ONE
+        # fine-layout materialization (the depth-to-space below).  The
+        # default path's spelling (depth-to-space, then a lane-starved
+        # C=3 zero-stuffed FIR at fine resolution, then a fine-layout
+        # add) was the largest non-conv term in the measured 1024px
+        # packed-block roofline (BASELINE.md round 4).
+        skip4 = pack_upsample2x(skip, blur_kernel)
+        if skip4 is not None:
+            rgb4 = rgb4 + skip4.astype(rgb4.dtype)
+            rgb = _depth_to_space2(rgb4, cout_r)
+        else:  # non-separable / non-4-tap blur: fine-resolution fallback
+            rgb = _depth_to_space2(rgb4, cout_r) + upsample2x(skip, blur_kernel)
+    else:
+        rgb = _depth_to_space2(rgb4, cout_r)
     nxt = _depth_to_space2(z4, cout2) if unpack_out else None
     return nxt, rgb
 

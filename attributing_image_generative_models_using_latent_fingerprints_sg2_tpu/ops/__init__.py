@@ -22,5 +22,6 @@ from .upfirdn2d import (  # noqa: F401
     pallas_enabled,
     upfirdn2d,
     upfirdn2d_nchw,
+    pack_upsample2x,
     upsample2x,
 )

@@ -35,7 +35,7 @@ Layout note: this framework is NHWC-native (TPU lane dim = channels).  A
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -341,6 +341,47 @@ def _upblur2x_polyphase(x: jax.Array, k: Tuple[float, float, float, float]) -> j
     he = k0 * v[:, :, 0:w] + k2 * v[:, :, 1 : w + 1]
     ho = k1 * v[:, :, 1 : w + 1] + k3 * v[:, :, 2 : w + 2]
     return jnp.stack([he, ho], axis=3).reshape(n, 2 * h, 2 * w, c)
+
+
+def pack_upsample2x(x: jax.Array, kernel=(1, 3, 3, 1)) -> Optional[jax.Array]:
+    """Phase-packed 2x upsample: ``space_to_depth(upsample2x(x, kernel))``
+    computed entirely at COARSE resolution.
+
+    Returns [N, H, W, 4C] phase-major (packed channel (p*2+q)*C + c holds
+    fine pixel (2u+p, 2v+q, c) of the reference Upsample module's output,
+    src/model.py:33-51) via the 2x2 polyphase decomposition: each output
+    phase is a 2-tap-per-axis blend of the zero-padded input --- shifted
+    adds on the VPU, no zero-stuffed fine-resolution convolution and no
+    fine-layout intermediate.  Used by the phase-packed tail blocks to
+    fold the ToRGB skip sum into the packed epilogue (the default path's
+    ``upsample2x`` runs a lane-starved C=3 FIR at FINE resolution --- the
+    single largest non-conv cost in the measured 1024px block roofline).
+
+    Returns None when the kernel is not an eligible 4-tap separable
+    square kernel (caller falls back to the fine-resolution spelling).
+    """
+    k = make_kernel(kernel) * 4.0
+    if k.shape != (4, 4) or not _is_separable(k):
+        return None
+    ky, kx = _split_separable(k)
+    if not np.allclose(ky, kx, atol=1e-6):
+        return None
+    # taps enter the polyphase slots REVERSED (correlation with the
+    # flipped kernel), exactly as in _upblur2x_polyphase
+    k0, k1, k2, k3 = (float(v) for v in ky[::-1])
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    r0 = k0 * xp[:, 0:h] + k2 * xp[:, 1 : h + 1]  # fine rows 2u   [n,h,w+2,c]
+    r1 = k1 * xp[:, 1 : h + 1] + k3 * xp[:, 2 : h + 2]  # fine rows 2u+1
+
+    def _cols(v):
+        e = k0 * v[:, :, 0:w] + k2 * v[:, :, 1 : w + 1]
+        o = k1 * v[:, :, 1 : w + 1] + k3 * v[:, :, 2 : w + 2]
+        return e, o
+
+    p00, p01 = _cols(r0)
+    p10, p11 = _cols(r1)
+    return jnp.concatenate([p00, p01, p10, p11], axis=-1)
 
 
 def upfirdn2d_nchw(x, kernel, up=1, down=1, pad=(0, 0), separable=None):

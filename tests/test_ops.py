@@ -196,3 +196,40 @@ def test_maxpool2x2_matches_reduce_window():
     g_new = jax.grad(lambda v: jnp.sum(jnp.sin(maxpool2x2(v))))(x)
     g_ref = jax.grad(lambda v: jnp.sum(jnp.sin(ref_pool(v))))(x)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-6)
+
+
+# --- pack_upsample2x: the packed-tail ToRGB skip fusion ---------------------
+
+
+def _space_to_depth_np(x):
+    """[N, 2H, 2W, C] -> [N, H, W, 4C] phase-major (matches
+    models.stylegan2._space_to_depth2)."""
+    n, h2, w2, c = x.shape
+    y = x.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h2 // 2, w2 // 2, 4 * c)
+
+
+@pytest.mark.parametrize("kernel", [(1, 3, 3, 1), (1, 2, 2, 1), (1, 1)])
+def test_pack_upsample2x_matches_fine_path(kernel):
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops import (
+        pack_upsample2x,
+    )
+
+    x = jnp.asarray(_rand(2, 7, 5, 3))
+    got = pack_upsample2x(x, kernel)
+    if len(kernel) != 4:
+        assert got is None  # ineligible -> caller falls back
+        return
+    want = _space_to_depth_np(np.asarray(upsample2x(x, kernel)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=2e-6)
+
+
+def test_pack_upsample2x_rejects_nonseparable():
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.ops import (
+        pack_upsample2x,
+    )
+
+    x = jnp.asarray(_rand(1, 4, 4, 3))
+    # make_kernel of a 2-D non-rank-1 kernel stays non-separable
+    assert pack_upsample2x(x, np.eye(4, dtype=np.float32)) is None
