@@ -204,6 +204,7 @@ def render(name: str, recs) -> str:
             head = (f"{r['img_size']}px kl{r['key_len']} s{r['sigma']:g} "
                     f"d_min={r['min_distance']}"
                     + (f" +{atk}" if atk != "None" else "")
+                    + (" aware" if r.get("attack_aware") else "")
                     + f" (p_bit {r['measured_p_bit']:.4f})")
             for row in r["by_registry_size"]:
                 lo, hi = row["soft_ci95"]

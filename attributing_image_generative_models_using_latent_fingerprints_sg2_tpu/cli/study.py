@@ -635,6 +635,17 @@ def cmd_identification(args) -> int:
          dict(key_len=64, sigma=3.0, min_distance=12,
               registry_sizes=(10, 100, 1000, 10000, 100000),
               attack="Crop")),
+        # same attacked points solved ATTACK-AWARE (the deployment mode:
+        # the provider knows it is testing robustness to a channel it can
+        # model; +18.6pp bit acc on Crop at kl=32 in the round-4 campaign)
+        ("kl64_s3_Jpeg_aware",
+         dict(key_len=64, sigma=3.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="Jpeg", attack_aware=True)),
+        ("kl64_s3_Crop_aware",
+         dict(key_len=64, sigma=3.0, min_distance=12,
+              registry_sizes=(10, 100, 1000, 10000, 100000),
+              attack="Crop", attack_aware=True)),
     ]
     for suffix, kw in id_points:
         tag = f"ident_64px_{suffix}"

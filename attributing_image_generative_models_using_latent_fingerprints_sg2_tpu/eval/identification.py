@@ -46,6 +46,7 @@ def identification_point(
     chunk_samples: int = 0,
     clip_targets: bool = True,
     attack: str = "None",
+    attack_aware: bool = False,
 ) -> Dict[str, Any]:
     """Generate ``samples`` images planted with registry keys, solve them
     once, and decode the user against every registry prefix size.
@@ -68,7 +69,15 @@ def identification_point(
         shift = d - key_len
     fp = FingerprintConfig(key_len=key_len, shift=shift, sigma=sigma)
     basis = fpe.build_basis(pipe.pca, fp)
-    acfg = AttributionConfig(steps=steps, n_starts=n_starts, loss="mse")
+    # attack_aware mirrors eval/study.py: the solver pushes its estimate
+    # through the deterministic channel model of the known attack
+    # (AttributionConfig.solver_attack) --- measured +18.6pp bit acc on
+    # Crop at kl=32 (BASELINE round-4 campaign), so the attacked
+    # identification curve is solved in the mode a deployment would use.
+    acfg = AttributionConfig(
+        steps=steps, n_starts=n_starts, loss="mse",
+        solver_attack=(attack if attack_aware else "None"),
+    )
 
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), 0xFACE)
     k_a, k_opt = jax.random.split(rng)
@@ -83,15 +92,15 @@ def identification_point(
     targets = pl.synthesize(pipe, wx)
     if clip_targets:
         targets = jnp.clip(targets, -1.0, 1.0)
+    atk_cfg = None
     if attack != "None":
         import dataclasses as _dc
 
         from ..attacks import make_attack
         from ..config import AttackConfig
 
-        fn = make_attack(
-            _dc.replace(AttackConfig(), augmentation=attack), is_train=False
-        )
+        atk_cfg = _dc.replace(AttackConfig(), augmentation=attack)
+        fn = make_attack(atk_cfg, is_train=False)
         targets = fn(targets, jax.random.fold_in(rng, 0xA77))
     targets = jax.lax.stop_gradient(targets)
 
@@ -103,6 +112,7 @@ def identification_point(
             pipe.gen_params, None, basis, pipe.noise, targets[c0:c1],
             jax.random.fold_in(k_opt, c0),
             mcfg=pipe.mcfg, acfg=acfg, dtype=dtype,
+            attack_cfg=(atk_cfg if attack_aware else None),
         )
         logits_all.append(np.asarray(res.key_logits, np.float64))
         bits_all.append(np.asarray(res.key_bits))
@@ -157,6 +167,7 @@ def identification_point(
         "shift": int(shift),
         "min_distance": min_distance,
         "attack": attack,
+        "attack_aware": bool(attack_aware),
         "samples": samples,
         "steps": steps,
         "n_starts": n_starts,

@@ -76,4 +76,21 @@ def test_attack_path_smoke():
         dtype="float32", clip_targets=False, attack="Noise",
     )
     assert rec["attack"] == "Noise"
+    assert rec["attack_aware"] is False
     assert len(rec["by_registry_size"]) == 1
+
+
+def test_attack_aware_path_smoke():
+    """attack_aware=True threads the deterministic channel model into the
+    solver (AttributionConfig.solver_attack + attack_cfg) and the record
+    says so; Blur is deterministic so the channel model is exact."""
+    pipe = pl.build_pipeline(jax.random.PRNGKey(0), MCFG, FPCFG,
+                             want_lpips=False)
+    rec = identification_point(
+        pipe, key_len=8, sigma=1.0, shift=56, min_distance=2,
+        registry_sizes=(4,), samples=4, steps=5, n_starts=2, seed=3,
+        dtype="float32", clip_targets=False, attack="Blur",
+        attack_aware=True,
+    )
+    assert rec["attack"] == "Blur" and rec["attack_aware"] is True
+    assert np.isfinite(rec["measured_p_bit"])
