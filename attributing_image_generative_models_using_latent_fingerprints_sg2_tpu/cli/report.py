@@ -140,12 +140,12 @@ def render(name: str, recs) -> str:
                 f"bit acc ({recs[0].get('full_budget', 'full')} budget)")
         return title + "\n" + _table(rows, hdr)
     if name == "model_attribution":
-        def _margin_op_point(r, max_fr=0.05):
-            """Deployable margin-rule operating point from the recorded
+        def _op_point(r, sweep_key, sym, max_fr=0.05):
+            """Deployable accept-if-geq operating point from a recorded
             sweep: the largest accept threshold with FR <= max_fr (FR is
             monotone increasing in thr, FA decreasing, so this minimizes
             FA subject to the FR budget)."""
-            sweep = r.get("margin_open_set_sweep")
+            sweep = r.get(sweep_key)
             if not sweep:
                 return "-"
             ok = [p for p in sweep if p["false_reject"] <= max_fr
@@ -155,7 +155,7 @@ def render(name: str, recs) -> str:
             best = max(ok, key=lambda p: p["threshold"])
             return (f"FR {best['false_reject']:.3f} / "
                     f"FA {best['false_accept']:.3f} "
-                    f"(m>={best['threshold']:.2f})")
+                    f"({sym}>={best['threshold']:.2f})")
         rows = []
         for r in recs:
             lo, hi = r["decision_acc_ci95"]
@@ -168,17 +168,24 @@ def render(name: str, recs) -> str:
                 f"{r['margin_median_in_dist']:.1f}x",
                 f"FR {r['false_reject_at_threshold']:.3f} / "
                 f"FA {r['false_accept_at_threshold']:.3f}",
-                _margin_op_point(r),
+                _op_point(r, "margin_open_set_sweep", "m"),
+                _op_point(r, "combined_open_set_sweep", "mc"),
                 (f"{r['open_set_auc']:.3f}"
                  if r.get("open_set_auc") is not None else "-"),
                 (f"{r['margin_open_set_auc']:.3f}"
                  if r.get("margin_open_set_auc") is not None else "-"),
+                (f"{r['coherence_open_set_auc']:.3f}"
+                 if r.get("coherence_open_set_auc") is not None else "-"),
+                (f"{r['combined_open_set_auc']:.3f}"
+                 if r.get("combined_open_set_auc") is not None else "-"),
                 f"{r.get('wall_s', 0):.0f}s"])
         return title + "\n" + _table(
             rows, ["point", "registry", "decision acc [95% CI]",
                    "key bit acc (when decided)", "median margin (in)",
                    "open-set @ loss thr", "margin rule @ FR<=0.05",
-                   "loss AUC", "margin AUC", "wall"])
+                   "margin x coherence @ FR<=0.05",
+                   "loss AUC", "margin AUC", "coherence AUC",
+                   "combined AUC", "wall"])
     if name == "scaling":
         rows = []
         for r in sorted(recs, key=lambda r: (r["img_size"],

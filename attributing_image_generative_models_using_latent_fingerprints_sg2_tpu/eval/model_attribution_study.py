@@ -135,7 +135,7 @@ def model_attribution_point(
     s_total = targets.shape[0]
 
     acfg = AttributionConfig(steps=steps, n_starts=n_starts, loss="mse")
-    losses_chunks, bits_chunks, best_chunks = [], [], []
+    losses_chunks, bits_chunks, best_chunks, coh_chunks = [], [], [], []
     chunk = chunk_samples or s_total
     for c0 in range(0, s_total, chunk):
         c1 = min(c0 + chunk, s_total)
@@ -146,10 +146,13 @@ def model_attribution_point(
         losses_chunks.append(res.losses)  # [M, chunk]
         bits_chunks.append(res.key_bits)
         best_chunks.append(res.best_model)
+        coh_chunks.append(res.coherence)  # [M, chunk]
     losses = np.concatenate(losses_chunks, axis=1)  # [M, S_total]
     key_bits = np.concatenate(bits_chunks)  # [S_total, K]
     best = np.concatenate(best_chunks)  # [S_total]
+    coherence = np.concatenate(coh_chunks, axis=1)  # [M, S_total]
     best_loss = losses[best, np.arange(s_total)]
+    coh_best = coherence[best, np.arange(s_total)]  # [S_total]
     part = np.sort(losses, axis=0)
     margin = part[1] / np.maximum(part[0], 1e-30)
 
@@ -232,6 +235,24 @@ def model_attribution_point(
     margin_sweep, margin_auc = _openset_sweep(
         margin[eval_in], margin[out_dist], accept_if_geq=True
     )
+    # Open-set statistic 3: RESTART-KEY COHERENCE of the chosen model's
+    # solve (model_attribution.restart_coherence) --- independent LHS
+    # restarts against the true generator all decode the same key;
+    # against a foreign generator the decoded keys are ~independent.
+    # Needs no runner-up model and no calibration; targets exactly the
+    # regime where the margin rule compresses (kl=64: weak per-key
+    # signal pulls every margin toward 1, but key AGREEMENT between
+    # restarts only happens when the fingerprint is really there).
+    coh_sweep, coh_auc = _openset_sweep(
+        coh_best[eval_in], coh_best[out_dist], accept_if_geq=True
+    )
+    # Statistic 4: margin x coherence --- the two are near-independent
+    # noise sources (loss geometry vs key-decode agreement), so the
+    # product rejects a sample unless BOTH signals look in-registry.
+    combined = margin * coh_best
+    comb_sweep, comb_auc = _openset_sweep(
+        combined[eval_in], combined[out_dist], accept_if_geq=True
+    )
 
     per_model: List[Dict[str, Any]] = []
     for i, name in enumerate(reg_names):
@@ -277,5 +298,25 @@ def model_attribution_point(
         "open_set_sweep": sweep,
         "margin_open_set_auc": margin_auc,
         "margin_open_set_sweep": margin_sweep,
+        "coherence_median_in_dist": float(np.median(coh_best[eval_in])),
+        "coherence_median_out_dist": (
+            float(np.median(coh_best[out_dist])) if out_dist.any() else None
+        ),
+        "coherence_open_set_auc": coh_auc,
+        "coherence_open_set_sweep": coh_sweep,
+        "combined_open_set_auc": comb_auc,
+        "combined_open_set_sweep": comb_sweep,
         "per_model": per_model,
+        # raw per-sample arrays: any future decision statistic can be
+        # evaluated OFFLINE from the committed record (the round-4 margin
+        # rule had to be re-measured because only sweeps were recorded)
+        "raw": {
+            "source": source.tolist(),
+            "registry_idx": true_idx.tolist(),
+            "calib_mask": calib_mask.astype(int).tolist(),
+            "losses": np.asarray(losses, np.float64).tolist(),
+            "margin": np.asarray(margin, np.float64).tolist(),
+            "coherence": np.asarray(coherence, np.float64).tolist(),
+            "best_model": best.tolist(),
+        },
     }

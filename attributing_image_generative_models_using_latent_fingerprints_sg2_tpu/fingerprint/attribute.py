@@ -61,6 +61,13 @@ class AttributionResult:
     # reference gets from printing every 100 steps (src/main.py:74-76),
     # without host syncs.
     loss_curve: Optional[jax.Array] = None
+    # [S, n, K] final key logits of EVERY restart (survivors only under
+    # pruning).  The reference discards non-winning restarts
+    # (src/main.py:84-87); keeping them is free and funds the
+    # restart-coherence open-set statistic (model_attribution.py): the
+    # restarts of a solve against the TRUE generator agree on the key,
+    # restarts against a foreign generator decode incoherent keys.
+    key_logits_all: Optional[jax.Array] = None
 
 
 def _make_optimizer(acfg: AttributionConfig) -> optax.GradientTransformation:
@@ -470,6 +477,7 @@ def attribute(
         losses_all=final_per,
         best_start=best,
         loss_curve=curve,
+        key_logits_all=opt_params["key"],
     )
 
 
@@ -537,6 +545,13 @@ def attribute_chunked(
                 losses_all=jnp.concatenate([best.losses_all, res.losses_all], axis=1),
                 best_start=jnp.where(take_new, res.best_start + offset, best.best_start),
                 loss_curve=curve,
+                key_logits_all=(
+                    jnp.concatenate(
+                        [best.key_logits_all, res.key_logits_all], axis=1
+                    )
+                    if best.key_logits_all is not None
+                    and res.key_logits_all is not None else None
+                ),
             )
         offset += n_c
     return best

@@ -21,6 +21,7 @@ from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.finge
     ModelAttributionResult,
     attribute_model,
     calibrate_open_set_threshold,
+    restart_coherence,
 )
 
 MCFG = ModelConfig(img_size=32, channel_max=64, n_mlp=3, style_dim=64)
@@ -104,6 +105,36 @@ def test_open_set_rejection(registry, solved):
         jax.random.PRNGKey(7), ACFG, open_set_threshold=tau,
     )
     assert res2.decided[0] and res2.chosen(0) == "model_a"
+
+
+def test_restart_coherence_separates_own_from_cross(solved):
+    """Independent restarts solving an image under its TRUE generator
+    agree on the decoded key; under the other generator they decode
+    incoherent keys --- the single-solve open-set statistic."""
+    res, _, _ = solved
+    s_idx = np.arange(4)
+    own = res.coherence[res.best_model, s_idx]
+    cross = res.coherence[1 - res.best_model, s_idx]
+    assert np.isfinite(res.coherence).all()
+    assert (res.coherence >= 0).all() and (res.coherence <= 1).all()
+    assert own.mean() > cross.mean(), (own, cross)
+    assert own.min() > 0.8, own  # true-model restarts lock onto the key
+
+
+def test_restart_coherence_math():
+    """Unit semantics: perfect agreement -> 1; the top-half selection
+    ignores the worst restarts; a split vote averages the |bit vote|."""
+    # [S=1, n=4, K=2] logits; losses rank restarts 0,1 as the top half
+    logits = np.array([[[2.0, -1.0], [3.0, -2.0], [-9.0, 9.0], [-9.0, 9.0]]])
+    losses = np.array([[0.1, 0.2, 5.0, 5.0]])
+    assert restart_coherence(logits, losses) == pytest.approx(1.0)
+    # flip restart 1's second bit: votes per bit = (1.0, 0.0) -> mean 0.5
+    logits[0, 1, 1] = 2.0
+    assert restart_coherence(logits, losses) == pytest.approx(0.5)
+    # top_frac=1 brings the disagreeing [-1,+1] pair back in: bit votes
+    # (0, 0.5) -> mean 0.25
+    full = restart_coherence(logits, losses, top_frac=1.0)
+    assert full == pytest.approx(0.25)
 
 
 def test_empty_registry_raises():
