@@ -5,7 +5,7 @@ PY ?= python
 .PHONY: all native test test-fast bench bench_dataload dryrun parity \
         quality_selftrain headline robustness scaling capacity perceptual \
         polish attackaware report pruning identification bestrecipe \
-        model_attribution clean
+        model_attribution spectrum clean
 
 all: native
 
@@ -98,6 +98,12 @@ bestrecipe:
 # operating curve over a registry of 4 trained generators + 1 held-out.
 model_attribution:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study model_attribution
+
+# Round-5: does a steeper w-spectrum unlock key_len=64?  Trains
+# generators on rank-limited data (--data_dim) and measures kl=64
+# recovery vs the key-band/content spectrum ratio.
+spectrum:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study spectrum
 
 # Render every BASELINE.md quality table from the measured study records
 # (no TPU needed --- a mechanical markdown render of result/study_*.jsonl).

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train on the sharp-feature data variant (rectangles + "
                    "stripes; measured LESS attributable than the smooth "
                    "default, see BASELINE.md)")
+    p.add_argument("--data_dim", type=int, default=0,
+                   help="cap the synthetic data manifold's intrinsic "
+                   "dimension (data.py _scene_lowdim; 0 = full 35-factor "
+                   "draw).  Low values steepen the trained w-spectrum "
+                   "(the FFHQ-like regime; study: make spectrum)")
     p.add_argument("--data_dir", type=str, default=None,
                    help="train on real images from this folder (recursive; "
                    "png/jpeg decoded by the native C++ loader when built, "
@@ -107,6 +112,7 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         batch=args.batch, lr=args.lr, r1=args.r1, d_reg_every=args.d_reg_every,
         mixing=args.mixing, ema_decay=args.ema_decay, data_sharp=args.data_sharp,
+        data_latent_dim=args.data_dim,
     )
     use_folder = args.data_dir is not None
 
@@ -141,6 +147,7 @@ def main(argv=None) -> int:
         "batch": args.batch, "lr": args.lr, "r1": args.r1,
         "d_reg_every": args.d_reg_every, "mixing": args.mixing,
         "ema_decay": args.ema_decay, "data_sharp": args.data_sharp,
+        "data_dim": args.data_dim,
         "data_dir": args.data_dir, "seed": args.seed,
     }
     start = 0

@@ -243,16 +243,27 @@ def model_attribution_point(
     # regime where the margin rule compresses (kl=64: weak per-key
     # signal pulls every margin toward 1, but key AGREEMENT between
     # restarts only happens when the fingerprint is really there).
-    coh_sweep, coh_auc = _openset_sweep(
-        coh_best[eval_in], coh_best[out_dist], accept_if_geq=True
-    )
-    # Statistic 4: margin x coherence --- the two are near-independent
-    # noise sources (loss geometry vs key-decode agreement), so the
-    # product rejects a sample unless BOTH signals look in-registry.
-    combined = margin * coh_best
-    comb_sweep, comb_auc = _openset_sweep(
-        combined[eval_in], combined[out_dist], accept_if_geq=True
-    )
+    # Coherence is NaN when a solve carried no key_logits_all (stored/older
+    # AttributionResult) or had <2 voting restarts (restart_coherence
+    # degeneracy) — in either case the statistic is vacuous, and feeding
+    # NaN into the sweep would silently pin false_reject at 1.0 and
+    # propagate NaN into the AUC.  Suppress the coherence/combined columns
+    # (None, like other optional stats) instead.
+    coh_valid = not (np.isnan(coh_best[eval_in]).any()
+                     or np.isnan(coh_best[out_dist]).any())
+    if coh_valid:
+        coh_sweep, coh_auc = _openset_sweep(
+            coh_best[eval_in], coh_best[out_dist], accept_if_geq=True
+        )
+        # Statistic 4: margin x coherence --- the two are near-independent
+        # noise sources (loss geometry vs key-decode agreement), so the
+        # product rejects a sample unless BOTH signals look in-registry.
+        combined = margin * coh_best
+        comb_sweep, comb_auc = _openset_sweep(
+            combined[eval_in], combined[out_dist], accept_if_geq=True
+        )
+    else:
+        coh_sweep = coh_auc = comb_sweep = comb_auc = None
 
     per_model: List[Dict[str, Any]] = []
     for i, name in enumerate(reg_names):
@@ -298,9 +309,12 @@ def model_attribution_point(
         "open_set_sweep": sweep,
         "margin_open_set_auc": margin_auc,
         "margin_open_set_sweep": margin_sweep,
-        "coherence_median_in_dist": float(np.median(coh_best[eval_in])),
+        "coherence_median_in_dist": (
+            float(np.median(coh_best[eval_in])) if coh_valid else None
+        ),
         "coherence_median_out_dist": (
-            float(np.median(coh_best[out_dist])) if out_dist.any() else None
+            float(np.median(coh_best[out_dist]))
+            if coh_valid and out_dist.any() else None
         ),
         "coherence_open_set_auc": coh_auc,
         "coherence_open_set_sweep": coh_sweep,

@@ -253,6 +253,7 @@ def ensure_trained(
     batch: int = 16,
     seed: int = 0,
     data_sharp: bool = False,
+    data_dim: int = 0,
     need_disc: bool = False,
 ) -> str:
     """Train (or reuse a cached) self-trained generator; returns the
@@ -266,6 +267,8 @@ def ensure_trained(
     tag = f"sg2_{img_size}px_cm{channel_max}_s{train_steps}_b{batch}_seed{seed}"
     if data_sharp:
         tag += "_sharp"
+    if data_dim:
+        tag += f"_d{data_dim}"
     path = os.path.join(cache_dir, tag + ".npz")
     if os.path.exists(path) and (
         not need_disc or os.path.exists(path + ".disc.npz")
@@ -281,6 +284,8 @@ def ensure_trained(
     ]
     if data_sharp:
         argv.append("--data_sharp")
+    if data_dim:
+        argv += ["--data_dim", str(data_dim)]
     rc = train_cli.main(argv)
     if rc != 0 or not os.path.exists(path):
         raise RuntimeError(f"training failed for {tag}")

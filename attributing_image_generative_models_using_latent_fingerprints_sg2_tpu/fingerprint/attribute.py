@@ -67,6 +67,12 @@ class AttributionResult:
     # restart-coherence open-set statistic (model_attribution.py): the
     # restarts of a solve against the TRUE generator agree on the key,
     # restarts against a foreign generator decode incoherent keys.
+    # NOTE: these logits are the POST-final-update optimizer state, while
+    # losses_all is the final step's PRE-update loss — a one-optimizer-step
+    # offset.  At the converged (decayed-LR) end of the schedule the
+    # difference is negligible, but statistics built on key_logits_all must
+    # not assume exact loss↔logit correspondence; under polish the winner's
+    # returned key_bits can differ from that restart's raw vote here.
     key_logits_all: Optional[jax.Array] = None
 
 

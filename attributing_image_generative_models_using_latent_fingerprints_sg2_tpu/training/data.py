@@ -16,6 +16,77 @@ import jax.numpy as jnp
 N_BLOBS = 3
 N_RECTS = 2
 
+# flattened factor count of the smooth scene: c0/c1 colors (6) + gradient
+# direction (2) + blob pos (6) + scale (6) + angle (3) + color (9) + amp (3)
+_FACTOR_DIM = 35
+
+
+def _render_smooth(
+    yy: jax.Array, xx: jax.Array,
+    c0: jax.Array, c1: jax.Array, gdir: jax.Array,
+    pos: jax.Array, scale: jax.Array, ang: jax.Array,
+    col: jax.Array, amp: jax.Array,
+) -> jax.Array:
+    """Pre-tanh smooth scene (gradient background + Gaussian blobs) from
+    explicit factors.  Shared by the full-dimensional draw (``_scene``)
+    and the rank-limited draw (``_scene_lowdim``)."""
+    gdir = gdir / (jnp.linalg.norm(gdir) + 1e-6)
+    t = (yy * gdir[0] + xx * gdir[1]) * 0.5 + 0.5
+    img = c0 * (1.0 - t[..., None]) + c1 * t[..., None]
+
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    dy = yy[None] - pos[:, 0, None, None]
+    dx = xx[None] - pos[:, 1, None, None]
+    u = ca[:, None, None] * dy + sa[:, None, None] * dx
+    v = -sa[:, None, None] * dy + ca[:, None, None] * dx
+    g = jnp.exp(
+        -0.5 * (jnp.square(u / scale[:, 0, None, None]) + jnp.square(v / scale[:, 1, None, None]))
+    )  # [K, S, S]
+    return img + jnp.einsum("kij,k,kc->ijc", g, amp, col)
+
+
+def _lowdim_factors(key: jax.Array, latent_dim: int) -> jax.Array:
+    """(-1, 1)^35 factor vector driven by ``latent_dim`` Gaussian latents
+    through a FIXED random projection: tanh(P @ eps), so the pre-tanh
+    factor population is exactly rank ``latent_dim`` (tested)."""
+    eps = jax.random.normal(key, (latent_dim,))
+    proj = jax.random.normal(
+        jax.random.PRNGKey(0x5EED), (_FACTOR_DIM, latent_dim)
+    ) / jnp.sqrt(float(latent_dim))
+    return jnp.tanh(proj @ eps)
+
+
+def _scene_lowdim(key: jax.Array, size: int, latent_dim: int) -> jax.Array:
+    """Smooth scene whose 35 factors are driven by only ``latent_dim``
+    Gaussian latents through a FIXED random projection — the data
+    manifold's intrinsic dimension is capped at ``latent_dim``.
+
+    Why this exists: the round-3 scaling study measured that generators
+    trained on the full 35-factor distribution develop a FLAT w-spectrum
+    (key-band sigma only ~3.5-4x below the content median), which is what
+    limits key_len=64 recovery in-env; production FFHQ models have a far
+    steeper spectrum.  Capping the data's intrinsic dimension forces the
+    trained generator to concentrate its w-variance on ~latent_dim
+    principal axes, reproducing the steep-spectrum regime with zero
+    external data (study: ``make spectrum``).
+    """
+    z = _lowdim_factors(key, latent_dim)  # (-1, 1)^35
+    u = z * 0.5 + 0.5  # (0, 1)^35 for the uniform-range factors
+
+    yy, xx = jnp.meshgrid(
+        jnp.linspace(-1.0, 1.0, size), jnp.linspace(-1.0, 1.0, size), indexing="ij"
+    )
+    # map each slot into the same native range _scene draws it from
+    c01 = (-0.8 + u[0:6] * 1.6).reshape(2, 3)
+    gdir = z[6:8]
+    pos = (-0.7 + u[8:14] * 1.4).reshape(N_BLOBS, 2)
+    scale = (0.08 + u[14:20] * 0.37).reshape(N_BLOBS, 2)
+    ang = u[20:23] * jnp.pi
+    col = z[23:32].reshape(N_BLOBS, 3)
+    amp = 0.6 + u[32:35] * 0.8
+    img = _render_smooth(yy, xx, c01[0], c01[1], gdir, pos, scale, ang, col, amp)
+    return jnp.tanh(img)
+
 
 def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     """One [size, size, 3] image in [-1, 1].
@@ -37,9 +108,6 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     # background: oriented linear gradient between two random colors
     c0, c1 = jax.random.uniform(kbg, (2, 3), minval=-0.8, maxval=0.8)
     gdir = jax.random.normal(kdir, (2,))
-    gdir = gdir / (jnp.linalg.norm(gdir) + 1e-6)
-    t = (yy * gdir[0] + xx * gdir[1]) * 0.5 + 0.5
-    img = c0 * (1.0 - t[..., None]) + c1 * t[..., None]
 
     # additive anisotropic Gaussian blobs
     pos = jax.random.uniform(kpos, (N_BLOBS, 2), minval=-0.7, maxval=0.7)
@@ -48,15 +116,7 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     col = jax.random.uniform(kcol, (N_BLOBS, 3), minval=-1.0, maxval=1.0)
     amp = jax.random.uniform(kamp, (N_BLOBS,), minval=0.6, maxval=1.4)
 
-    ca, sa = jnp.cos(ang), jnp.sin(ang)
-    dy = yy[None] - pos[:, 0, None, None]
-    dx = xx[None] - pos[:, 1, None, None]
-    u = ca[:, None, None] * dy + sa[:, None, None] * dx
-    v = -sa[:, None, None] * dy + ca[:, None, None] * dx
-    g = jnp.exp(
-        -0.5 * (jnp.square(u / scale[:, 0, None, None]) + jnp.square(v / scale[:, 1, None, None]))
-    )  # [K, S, S]
-    img = img + jnp.einsum("kij,k,kc->ijc", g, amp, col)
+    img = _render_smooth(yy, xx, c0, c1, gdir, pos, scale, ang, col, amp)
 
     if not sharp:
         return jnp.tanh(img)
@@ -98,7 +158,22 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
 
 
 def sample_batch(
-    key: jax.Array, batch: int, size: int, sharp: bool = False
+    key: jax.Array, batch: int, size: int, sharp: bool = False,
+    latent_dim: int = 0,
 ) -> jax.Array:
-    """[batch, size, size, 3] images in [-1, 1], NHWC, f32."""
+    """[batch, size, size, 3] images in [-1, 1], NHWC, f32.
+
+    ``latent_dim > 0`` switches to the rank-limited smooth distribution
+    (``_scene_lowdim``): every image is a deterministic function of
+    ``latent_dim`` Gaussian latents, capping the data manifold's
+    intrinsic dimension.  ``latent_dim=0`` (default) keeps the full
+    35-factor draw bit-identical to previous releases (cached study
+    models depend on the stream).  ``sharp`` applies only to the full
+    draw."""
+    if latent_dim > 0:
+        if sharp:
+            raise ValueError("sharp data variant has no lowdim mode")
+        return jax.vmap(lambda k: _scene_lowdim(k, size, latent_dim))(
+            jax.random.split(key, batch)
+        )
     return jax.vmap(lambda k: _scene(k, size, sharp))(jax.random.split(key, batch))

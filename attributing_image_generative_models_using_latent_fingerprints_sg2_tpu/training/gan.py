@@ -46,6 +46,9 @@ class TrainConfig:
     mixing: float = 0.9
     ema_decay: float = 0.999
     data_sharp: bool = False  # sharp-feature data variant (see data.py)
+    # >0: rank-limited data (data.py _scene_lowdim) --- caps the data
+    # manifold's intrinsic dimension to steepen the trained w-spectrum
+    data_latent_dim: int = 0
 
 
 class TrainState(NamedTuple):
@@ -145,7 +148,8 @@ def make_train_step(
             if real is None:
                 raise ValueError("external_data=True requires a real batch per step")
         else:
-            real = sample_batch(k_data, tcfg.batch, mcfg.img_size, tcfg.data_sharp)
+            real = sample_batch(k_data, tcfg.batch, mcfg.img_size,
+                                tcfg.data_sharp, tcfg.data_latent_dim)
         real = _cb(real)
 
         # ---- D update -------------------------------------------------

@@ -137,6 +137,23 @@ def test_restart_coherence_math():
     assert full == pytest.approx(0.25)
 
 
+def test_restart_coherence_degenerate_single_voter_is_nan():
+    """With <2 voting restarts |mean of one ±1 vote| would be exactly 1.0
+    for every sample (in- and out-of-registry alike), so the statistic is
+    vacuous: it must return NaN, which the study driver uses to suppress
+    the coherence/combined columns (ADVICE r4)."""
+    # n_starts = 1
+    logits = np.array([[[2.0, -1.0]]])  # [S=1, n=1, K=2]
+    losses = np.array([[0.1]])
+    assert np.isnan(restart_coherence(logits, losses)).all()
+    # n_starts = 2 but top_frac prunes to a single voter
+    logits2 = np.array([[[2.0, -1.0], [-3.0, 2.0]]])
+    losses2 = np.array([[0.1, 0.2]])
+    assert np.isnan(restart_coherence(logits2, losses2, top_frac=0.5)).all()
+    # 2 voters is the minimum informative case — finite again
+    assert np.isfinite(restart_coherence(logits2, losses2, top_frac=1.0)).all()
+
+
 def test_empty_registry_raises():
     with pytest.raises(ValueError):
         attribute_model({}, np.zeros((1, 32, 32, 3), np.float32),

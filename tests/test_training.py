@@ -40,6 +40,41 @@ def test_sample_batch_shape_range_determinism():
     assert np.abs(xn[0] - xn[1]).max() > 1e-3
 
 
+def test_sample_batch_lowdim_caps_intrinsic_dimension():
+    """latent_dim=d caps the data manifold's intrinsic dimension: the
+    pre-tanh factor population (tanh(P @ eps) inverted) is EXACTLY rank
+    d, while the full draw's 35 factors are full-rank.  This is the
+    property the spectrum study relies on (make spectrum)."""
+    from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.training.data import (
+        _FACTOR_DIM,
+        _lowdim_factors,
+    )
+
+    k = jax.random.PRNGKey(7)
+    d = 3
+    z = np.asarray(
+        jax.vmap(lambda kk: _lowdim_factors(kk, d))(jax.random.split(k, 64))
+    )  # [64, 35]
+    assert z.shape == (64, _FACTOR_DIM)
+    assert np.abs(z).max() < 1.0
+    pre = np.arctanh(z)  # = P @ eps, exactly rank d
+    s = np.linalg.svd(pre, compute_uv=False)
+    assert s[d - 1] > 1e-3 and s[d] < 1e-4 * s[0], s[: d + 2]
+
+    # image-level API: shape/range/determinism, and sharp+lowdim rejects
+    low = np.asarray(sample_batch(k, 4, 16, latent_dim=d))
+    assert low.shape == (4, 16, 16, 3) and np.isfinite(low).all()
+    assert low.min() >= -1.0 and low.max() <= 1.0
+    assert np.abs(low[0] - low[1]).max() > 1e-3  # distinct across batch
+    np.testing.assert_array_equal(
+        np.asarray(sample_batch(k, 4, 16, latent_dim=d)), low
+    )
+    # lowdim is a different distribution from the full draw
+    assert np.abs(low - np.asarray(sample_batch(k, 4, 16))).max() > 1e-3
+    with pytest.raises(ValueError):
+        sample_batch(k, 2, 16, sharp=True, latent_dim=4)
+
+
 def test_train_step_smoke_and_ema():
     step = make_train_step(MCFG, TCFG)
     state = init_train_state(jax.random.PRNGKey(0), MCFG, TCFG)
