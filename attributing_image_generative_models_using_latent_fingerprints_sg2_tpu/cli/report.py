@@ -21,7 +21,7 @@ import sys
 RESULT_DIR = "result"
 STUDIES = ["headline", "robustness", "scaling", "perceptual", "polish",
            "attackaware", "pruning", "bestrecipe", "capacity",
-           "identification", "model_attribution"]
+           "identification", "model_attribution", "spectrum"]
 
 
 def _load(name: str):
@@ -202,6 +202,25 @@ def render(name: str, recs) -> str:
             rows, ["model (px/width/steps)", "sigma", "bit acc",
                    "key-band sigma med", "content sigma med",
                    "bit-vs-sigma Spearman"])
+    if name == "spectrum":
+        rows = []
+        for r in sorted(recs, key=lambda r: (r.get("data_dim") or 999,
+                                             r["key_len"], r["sigma"])):
+            ratio = r["content_sigma_median"] / max(r["band_sigma_median"],
+                                                    1e-12)
+            rows.append([
+                (f"d={r['data_dim']}" if r.get("data_dim") else "full (35)"),
+                f"kl{r['key_len']} s={r['sigma']:g}",
+                _acc_cell(r), _exact_cell(r),
+                f"{r['band_sigma_median']:.4f}",
+                f"{r['content_sigma_median']:.3f}",
+                f"{ratio:.1f}x",
+                _spearman_cell(r.get("bit_sigma_spearman"))])
+        return title + "\n" + _table(
+            rows, ["data intrinsic dim", "point",
+                   "mean bit acc [95% CI]", "exact match [95% CI]",
+                   "key-band sigma med", "content sigma med",
+                   "spectrum ratio", "bit-vs-sigma Spearman"])
     if name in ("pruning", "polish", "attackaware"):
         return title + "\n" + _ab_rows(name, recs)
     if name == "identification":
@@ -210,6 +229,7 @@ def render(name: str, recs) -> str:
             atk = r.get("attack", "None")
             head = (f"{r['img_size']}px kl{r['key_len']} s{r['sigma']:g} "
                     f"d_min={r['min_distance']}"
+                    + (" RM" if r.get("issuance") == "rm" else "")
                     + (f" +{atk}" if atk != "None" else "")
                     + (" aware" if r.get("attack_aware") else "")
                     + f" (p_bit {r['measured_p_bit']:.4f})")

@@ -672,6 +672,24 @@ def cmd_identification(args) -> int:
          dict(key_len=64, sigma=3.0, min_distance=12,
               registry_sizes=(10, 100, 1000, 10000, 100000),
               attack="Crop", attack_aware=True)),
+        # Reed-Muller structured issuance (fingerprint/keys.py issue_rm):
+        # RM(2,6) guarantees pairwise distance 16 (vs 12 from rejection
+        # sampling) and issues in milliseconds where the O(N^2) sampler
+        # cannot go --- the N=1e6 rows answer where the round-4 "~1e7
+        # users before the soft margin crosses zero" extrapolation
+        # actually lands, clean and through the attack-aware channel.
+        ("kl64_s3_None_rm",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="None")),
+        ("kl64_s3_Jpeg_aware_rm",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="Jpeg", attack_aware=True)),
+        ("kl64_s3_Crop_aware_rm",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="Crop", attack_aware=True)),
     ]
     for suffix, kw in id_points:
         tag = f"ident_64px_{suffix}"

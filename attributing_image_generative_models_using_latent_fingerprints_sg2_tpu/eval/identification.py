@@ -47,6 +47,7 @@ def identification_point(
     clip_targets: bool = True,
     attack: str = "None",
     attack_aware: bool = False,
+    issuance: str = "rejection",
 ) -> Dict[str, Any]:
     """Generate ``samples`` images planted with registry keys, solve them
     once, and decode the user against every registry prefix size.
@@ -60,9 +61,19 @@ def identification_point(
     sizes = sorted(set(int(n) for n in registry_sizes))
     if sizes[0] < 2:
         raise ValueError("registry sizes must be >= 2")
-    reg = KeyRegistry.issue(
-        sizes[-1], key_len, min_distance=min_distance, seed=seed
-    )
+    if issuance == "rm":
+        # structured Reed-Muller issuance: guaranteed pairwise distance
+        # 2^(m-r) by construction, scales to N ~ 4e6 where the O(N^2)
+        # rejection sampler cannot go (fingerprint/keys.py issue_rm);
+        # min_distance comes from the code, the argument is ignored
+        reg = KeyRegistry.issue_rm(sizes[-1], key_len, seed=seed)
+        min_distance = reg.min_distance
+    elif issuance == "rejection":
+        reg = KeyRegistry.issue(
+            sizes[-1], key_len, min_distance=min_distance, seed=seed
+        )
+    else:
+        raise ValueError(f"unknown issuance {issuance!r}")
 
     d = pipe.mcfg.style_space_dim
     if shift is None:
@@ -166,6 +177,7 @@ def identification_point(
         "sigma": float(sigma),
         "shift": int(shift),
         "min_distance": min_distance,
+        "issuance": issuance,
         "attack": attack,
         "attack_aware": bool(attack_aware),
         "samples": samples,

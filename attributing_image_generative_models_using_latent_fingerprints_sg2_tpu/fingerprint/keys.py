@@ -35,6 +35,30 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+# decode chunk: bounds the [chunk, K] float temp of a registry match to a
+# few MB regardless of N (issue_rm registries reach N ~ 4e6)
+_DECODE_CHUNK = 1 << 16
+
+
+def _best_two(scores: np.ndarray, *, smaller_is_better: bool):
+    """(best, second) indices with ties broken toward the LOWER index ---
+    identical tie semantics to the previous stable-argsort implementation
+    (argmin/argmax return the first occurrence), without the O(N log N)
+    sort.  ``second`` is -1 for a single-entry registry."""
+    if scores.shape[0] == 1:
+        return 0, -1
+    if smaller_is_better:
+        best = int(np.argmin(scores))
+        masked = scores.copy()
+        masked[best] = np.iinfo(scores.dtype).max if np.issubdtype(
+            scores.dtype, np.integer) else np.inf
+        return best, int(np.argmin(masked))
+    best = int(np.argmax(scores))
+    masked = scores.copy()
+    masked[best] = -np.inf
+    return best, int(np.argmax(masked))
+
+
 @dataclasses.dataclass
 class KeyRegistry:
     """Issued key codebook: ``keys`` [N, K] in {0,1} + user names."""
@@ -114,6 +138,70 @@ class KeyRegistry:
             names = [f"user_{i:05d}" for i in range(n_users)]
         return cls(keys=keys, names=list(names), min_distance=min_distance)
 
+    @classmethod
+    def issue_rm(
+        cls,
+        n_users: int,
+        key_len: int,
+        seed: int = 0,
+        r: int = 2,
+        names: Optional[Sequence[str]] = None,
+    ) -> "KeyRegistry":
+        """Structured issuance from a Reed-Muller RM(r, m) code
+        (``key_len`` must be 2^m): keys are random DISTINCT codewords, so
+        the pairwise Hamming distance is >= the code's minimum distance
+        2^(m-r) **by construction** --- no pairwise checking.
+
+        Why: rejection sampling (``issue``) does O(N^2) popcount
+        comparisons --- measured 12.6 s at N=1e5/key_len=64 and hopeless
+        at N=1e6 --- while RM evaluation is a [N, k] x [k, key_len]
+        GF(2) matmul (milliseconds at N=1e6).  RM(2, 6) carries
+        k = 1+6+15 = 22 message bits => 4,194,304 users at guaranteed
+        distance 16 for key_len=64 (vs d=12 from rejection sampling at
+        1e5); RM(2, 5) gives 65,536 users at d=8 for key_len=32.
+
+        Generator matrix rows are the degree-<= r monomials in the m
+        point-coordinate bits evaluated at all 2^m points (the textbook
+        Boolean-polynomial construction).
+        """
+        m = key_len.bit_length() - 1
+        if (1 << m) != key_len:
+            raise ValueError(f"key_len must be a power of 2, got {key_len}")
+        if not 1 <= r < m:
+            raise ValueError(f"r must be in [1, {m - 1}]")
+        from itertools import combinations
+        from math import comb
+
+        # coordinate bits of every evaluation point: [m, 2^m]
+        pts = np.arange(key_len)
+        coord = ((pts[None, :] >> np.arange(m)[:, None]) & 1).astype(np.uint8)
+        rows = [np.ones(key_len, np.uint8)]
+        for deg in range(1, r + 1):
+            for idxs in combinations(range(m), deg):
+                rows.append(np.bitwise_and.reduce(coord[list(idxs)], axis=0))
+        gmat = np.stack(rows)  # [k, key_len]
+        k = gmat.shape[0]
+        assert k == sum(comb(m, i) for i in range(r + 1))
+        capacity = 1 << k
+        if n_users > capacity:
+            raise ValueError(
+                f"RM({r},{m}) carries {capacity} codewords; "
+                f"asked for {n_users} (raise r or key_len)"
+            )
+        rng = np.random.default_rng(seed)
+        msgs = rng.choice(capacity, size=n_users, replace=False)
+        msg_bits = ((msgs[:, None] >> np.arange(k)[None, :]) & 1).astype(
+            np.uint8
+        )  # [N, k]
+        keys = (msg_bits @ gmat) & 1  # row sums <= k = 22 < 256: no wrap
+        if names is None:
+            names = [f"user_{i:07d}" for i in range(n_users)]
+        return cls(
+            keys=keys.astype(np.int8),
+            names=list(names),
+            min_distance=1 << (m - r),
+        )
+
     # ------------------------------------------------------------------ #
     # decoding
     # ------------------------------------------------------------------ #
@@ -127,11 +215,18 @@ class KeyRegistry:
             raise ValueError(
                 f"bits length {bits.shape[0]} != key_len {self.keys.shape[1]}"
             )
-        dists = np.abs(self.keys - bits).sum(axis=1)
-        order = np.argsort(dists, kind="stable")
-        best = int(order[0])
+        # chunked XOR-popcount: million-user registries (issue_rm) must
+        # not materialize an [N, K] temp per decode
+        n = self.keys.shape[0]
+        dists = np.empty(n, np.int32)
+        for c0 in range(0, n, _DECODE_CHUNK):
+            c1 = min(c0 + _DECODE_CHUNK, n)
+            dists[c0:c1] = (self.keys[c0:c1] != bits).sum(
+                axis=1, dtype=np.int32
+            )
+        best, second = _best_two(dists, smaller_is_better=True)
         margin = (
-            int(dists[order[1]] - dists[order[0]]) if len(dists) > 1 else
+            int(dists[second] - dists[best]) if second >= 0 else
             int(self.keys.shape[1])
         )
         return best, int(dists[best]), margin
@@ -154,11 +249,20 @@ class KeyRegistry:
         # log sigmoid(x) = -log1p(exp(-x)), stable both tails
         log_p1 = -np.logaddexp(0.0, -logits)  # log P(bit=1)
         log_p0 = -np.logaddexp(0.0, logits)  # log P(bit=0)
-        ll = self.keys @ log_p1 + (1 - self.keys) @ log_p0  # [N]
-        order = np.argsort(-ll, kind="stable")
-        best = int(order[0])
+        # ll = keys @ log_p1 + (1-keys) @ log_p0 = keys @ (lp1-lp0) + sum lp0
+        # --- one matmul instead of two, chunked so million-user
+        # registries (issue_rm) never materialize an [N, K] float temp
+        w = log_p1 - log_p0
+        base = float(log_p0.sum())
+        n = self.keys.shape[0]
+        ll = np.empty(n, np.float64)
+        for c0 in range(0, n, _DECODE_CHUNK):
+            c1 = min(c0 + _DECODE_CHUNK, n)
+            ll[c0:c1] = self.keys[c0:c1] @ w
+        ll += base
+        best, second = _best_two(ll, smaller_is_better=False)
         margin = (
-            float(ll[order[0]] - ll[order[1]]) if len(ll) > 1 else float("inf")
+            float(ll[best] - ll[second]) if second >= 0 else float("inf")
         )
         return best, float(ll[best]), margin
 

@@ -106,8 +106,15 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     )
 
     # background: oriented linear gradient between two random colors
+    # (kept INLINE in the original draw/compute interleaving --- not via
+    # _render_smooth --- so the traced HLO, and therefore the persistent
+    # compile-cache key of every training program, is unchanged from
+    # previous releases; _scene_lowdim shares _render_smooth instead)
     c0, c1 = jax.random.uniform(kbg, (2, 3), minval=-0.8, maxval=0.8)
     gdir = jax.random.normal(kdir, (2,))
+    gdir = gdir / (jnp.linalg.norm(gdir) + 1e-6)
+    t = (yy * gdir[0] + xx * gdir[1]) * 0.5 + 0.5
+    img = c0 * (1.0 - t[..., None]) + c1 * t[..., None]
 
     # additive anisotropic Gaussian blobs
     pos = jax.random.uniform(kpos, (N_BLOBS, 2), minval=-0.7, maxval=0.7)
@@ -116,7 +123,15 @@ def _scene(key: jax.Array, size: int, sharp: bool = False) -> jax.Array:
     col = jax.random.uniform(kcol, (N_BLOBS, 3), minval=-1.0, maxval=1.0)
     amp = jax.random.uniform(kamp, (N_BLOBS,), minval=0.6, maxval=1.4)
 
-    img = _render_smooth(yy, xx, c0, c1, gdir, pos, scale, ang, col, amp)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    dy = yy[None] - pos[:, 0, None, None]
+    dx = xx[None] - pos[:, 1, None, None]
+    u = ca[:, None, None] * dy + sa[:, None, None] * dx
+    v = -sa[:, None, None] * dy + ca[:, None, None] * dx
+    g = jnp.exp(
+        -0.5 * (jnp.square(u / scale[:, 0, None, None]) + jnp.square(v / scale[:, 1, None, None]))
+    )  # [K, S, S]
+    img = img + jnp.einsum("kij,k,kc->ijc", g, amp, col)
 
     if not sharp:
         return jnp.tanh(img)

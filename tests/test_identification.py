@@ -94,3 +94,30 @@ def test_attack_aware_path_smoke():
     )
     assert rec["attack"] == "Blur" and rec["attack_aware"] is True
     assert np.isfinite(rec["measured_p_bit"])
+
+
+def test_rm_issuance_path():
+    """issuance='rm' builds the registry from Reed-Muller codewords: the
+    record carries the code's min distance (8 for RM(2,5) at kl=32 --- the
+    argument default is overridden) and the solve/decode loop runs
+    unchanged.  kl=8 is not a valid RM(2,m) length with r<m constraints
+    honored (m=3, r=2 -> d=2), so this uses key_len=32 on the tiny model."""
+    pipe = pl.build_pipeline(
+        jax.random.PRNGKey(0),
+        MCFG,
+        FingerprintConfig(key_len=32, shift=32, sigma=1.0, sd_moved=1.0,
+                          n_pca_samples=2000),
+        want_lpips=False,
+    )
+    rec = identification_point(
+        pipe, key_len=32, sigma=1.0, shift=32,
+        registry_sizes=(4, 64), samples=4, steps=5, n_starts=2, seed=3,
+        dtype="float32", clip_targets=False, issuance="rm",
+    )
+    assert rec["issuance"] == "rm"
+    assert rec["min_distance"] == 8  # from RM(2,5), not the default 6
+    assert [r["registry_size"] for r in rec["by_registry_size"]] == [4, 64]
+    with pytest.raises(ValueError):
+        identification_point(pipe, key_len=32, shift=32,
+                             registry_sizes=(4,), samples=2, steps=2,
+                             n_starts=2, issuance="bogus")

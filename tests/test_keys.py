@@ -178,3 +178,94 @@ def test_issue_packed_matches_reference_algorithm():
         want = issue_unpacked(n, kl, d, seed)
         got = KeyRegistry.issue(n, kl, min_distance=d, seed=seed).keys
         np.testing.assert_array_equal(got, want)
+
+
+def test_issue_rm_distance_guarantee_and_determinism():
+    """RM(2,6) codewords: guaranteed pairwise distance 16 at key_len=64,
+    deterministic per seed, distinct across users."""
+    reg = KeyRegistry.issue_rm(256, 64, seed=3)
+    assert reg.keys.shape == (256, 64)
+    assert reg.min_distance == 16
+    k = reg.keys.astype(np.int16)
+    d = np.abs(k[:, None, :] - k[None, :, :]).sum(-1)
+    np.fill_diagonal(d, 64)
+    assert d.min() >= 16, d.min()
+    reg2 = KeyRegistry.issue_rm(256, 64, seed=3)
+    np.testing.assert_array_equal(reg.keys, reg2.keys)
+    assert not np.array_equal(
+        reg.keys, KeyRegistry.issue_rm(256, 64, seed=4).keys
+    )
+
+
+def test_issue_rm_kl32_and_validation():
+    # RM(2,5): 2^16 codewords at distance 8 for key_len=32
+    reg = KeyRegistry.issue_rm(512, 32, seed=0)
+    assert reg.min_distance == 8
+    k = reg.keys.astype(np.int16)
+    d = np.abs(k[:, None, :] - k[None, :, :]).sum(-1)
+    np.fill_diagonal(d, 32)
+    assert d.min() >= 8
+    with pytest.raises(ValueError):
+        KeyRegistry.issue_rm(2, 48)  # not a power of 2
+    with pytest.raises(ValueError):
+        KeyRegistry.issue_rm(1 << 17, 32)  # beyond RM(2,5) capacity
+    with pytest.raises(ValueError):
+        KeyRegistry.issue_rm(4, 64, r=0)
+
+
+def test_issue_rm_scales_to_a_million_users():
+    """The whole point of structured issuance: N=1e6 keys at kl=64 with
+    guaranteed d=16, issued in well under a minute (rejection sampling is
+    O(N^2) and cannot get here).  Spot-check distances on a random pair
+    sample and drive both decoders at full registry size."""
+    import time
+
+    t0 = time.time()
+    reg = KeyRegistry.issue_rm(1_000_000, 64, seed=1)
+    issue_s = time.time() - t0
+    assert issue_s < 60, issue_s
+    assert len(reg) == 1_000_000 and reg.min_distance == 16
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, len(reg), 2000)
+    b = rng.integers(0, len(reg), 2000)
+    mask = a != b
+    d = (reg.keys[a[mask]] != reg.keys[b[mask]]).sum(1)
+    assert d.min() >= 16
+    # chunked decoders handle the full-size registry
+    true = 123_456
+    bits = reg.keys[true].copy()
+    bits[:5] ^= 1  # 5 flips < d/2=8: hard decode must still recover
+    hi, dist, margin = reg.match_hard(bits)
+    assert hi == true and dist == 5 and margin >= 1
+    logits = (2.0 * reg.keys[true] - 1.0) * 4.0
+    si, _, smargin = reg.match_soft(logits)
+    assert si == true and smargin > 0
+
+
+def test_match_chunked_equals_dense_reference():
+    """The chunked/argpartition decoders must reproduce the dense
+    stable-argsort reference exactly, including low-index tie-breaks."""
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2, (300, 16), dtype=np.int8)
+    keys[50] = keys[10]  # deliberate duplicate -> distance tie
+    reg = KeyRegistry(keys=keys, names=[str(i) for i in range(300)],
+                      min_distance=1)
+    for _ in range(20):
+        bits = rng.integers(0, 2, 16, dtype=np.int8)
+        hi, dist, margin = reg.match_hard(bits)
+        dists = np.abs(keys - bits).sum(1)
+        order = np.argsort(dists, kind="stable")
+        assert hi == order[0]
+        assert dist == dists[order[0]]
+        assert margin == dists[order[1]] - dists[order[0]]
+        logits = rng.normal(size=16) * 3
+        si, ll, smargin = reg.match_soft(logits)
+        lp1 = -np.logaddexp(0.0, -logits)
+        lp0 = -np.logaddexp(0.0, logits)
+        ref_ll = keys @ lp1 + (1 - keys) @ lp0
+        sorder = np.argsort(-ref_ll, kind="stable")
+        assert si == sorder[0]
+        assert ll == pytest.approx(ref_ll[sorder[0]], abs=1e-9)
+        assert smargin == pytest.approx(
+            ref_ll[sorder[0]] - ref_ll[sorder[1]], abs=1e-9
+        )
