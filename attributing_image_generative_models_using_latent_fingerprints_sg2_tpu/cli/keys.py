@@ -28,6 +28,14 @@ def main(argv=None) -> int:
     p_issue.add_argument("--users", type=int, required=True)
     p_issue.add_argument("--key_len", type=int, default=64)
     p_issue.add_argument("--min_distance", type=int, default=1)
+    p_issue.add_argument("--issuance", choices=["rejection", "rm"],
+                         default="rejection",
+                         help="rejection: random coding with pairwise "
+                         "distance checks (O(N^2), practical to ~1e5); "
+                         "rm: Reed-Muller RM(2,m) codewords --- guaranteed "
+                         "distance 2^(m-2) (16 at key_len=64), issues "
+                         "millions of keys in milliseconds; --min_distance "
+                         "is ignored (the code fixes it)")
     p_issue.add_argument("--seed", type=int, default=0)
     p_issue.add_argument("--out", type=str, required=True)
 
@@ -46,14 +54,19 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cmd == "issue":
-        reg = KeyRegistry.issue(
-            args.users, args.key_len, args.min_distance, seed=args.seed
-        )
+        if args.issuance == "rm":
+            reg = KeyRegistry.issue_rm(args.users, args.key_len,
+                                       seed=args.seed)
+        else:
+            reg = KeyRegistry.issue(
+                args.users, args.key_len, args.min_distance, seed=args.seed
+            )
         reg.save(args.out)
         print(json.dumps({
             "users": len(reg),
             "key_len": args.key_len,
-            "min_distance": args.min_distance,
+            "min_distance": reg.min_distance,
+            "issuance": args.issuance,
             "out": args.out,
         }))
         return 0

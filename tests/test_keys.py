@@ -143,6 +143,18 @@ def test_keys_cli(tmp_path, capsys):
     assert cap["soft_accuracy"] > 0.9
     assert 0 <= cap["union_bound_error"] <= 1
 
+    # RM issuance: min_distance comes from the code (RM(2,5) -> 8), not
+    # the flag, and the registry round-trips
+    out_rm = str(tmp_path / "reg_rm.json")
+    assert keys_cli.main([
+        "issue", "--users", "100", "--key_len", "32",
+        "--issuance", "rm", "--out", out_rm,
+    ]) == 0
+    issued_rm = json.loads(capsys.readouterr().out)
+    assert issued_rm["min_distance"] == 8
+    assert issued_rm["issuance"] == "rm"
+    assert KeyRegistry.load(out_rm).min_distance == 8
+
 
 def test_issue_packed_distance_guarantee_multiword():
     """key_len > 64 exercises the multi-word packed popcount path; the
