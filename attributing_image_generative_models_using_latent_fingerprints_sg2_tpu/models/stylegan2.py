@@ -458,6 +458,13 @@ def to_rgb(
 # golden-tested in tests/test_stylegan2.py) --- only the layout changes.
 _PACKED_TAIL = 0  # number of trailing upsample blocks to run packed
 _PACKED_TAIL_MAX_CH = 128  # pack only where 4*C stays MXU-sized
+# When the FINAL block runs packed, optionally skip its depth-to-space and
+# return the phase-packed RGB [B, H/2, W/2, 12] --- the one remaining
+# fine-layout materialization in the packed pipeline.  Consumers unpack on
+# host (utils.image.unpack_phases / np reshape-transpose, ~free inside the
+# PNG writer's row loop) or feed packed targets to a packed-space loss
+# (mse is permutation-invariant).  Trace-time switch, bench `--packed_output`.
+_PACKED_OUTPUT = False
 
 
 def enable_packed_tail(n_blocks: int = 1) -> None:
@@ -467,6 +474,19 @@ def enable_packed_tail(n_blocks: int = 1) -> None:
     if int(n_blocks) != _PACKED_TAIL:
         jax.clear_caches()
     _PACKED_TAIL = int(n_blocks)
+
+
+def enable_packed_output(on: bool = True) -> None:
+    """Return the final packed block's RGB in phase-packed layout
+    ([B, H/2, W/2, 12]) instead of depth-to-spacing it on device.  Only
+    takes effect when the final block actually runs packed
+    (enable_packed_tail > 0 and its width is under the channel cap) AND
+    the blur is the separable 4-tap default (the fallback fine-layout
+    path always unpacks).  Trace-time switch."""
+    global _PACKED_OUTPUT
+    if bool(on) != _PACKED_OUTPUT:
+        jax.clear_caches()
+    _PACKED_OUTPUT = bool(on)
 
 
 def _modulated_conv2d_packed(
@@ -574,10 +594,14 @@ def _packed_tail_block(
         skip4 = pack_upsample2x(skip, blur_kernel)
         if skip4 is not None:
             rgb4 = rgb4 + skip4.astype(rgb4.dtype)
+            if _PACKED_OUTPUT and not unpack_out:
+                return None, rgb4  # phase-packed RGB [B, H/2, W/2, 12]
             rgb = _depth_to_space2(rgb4, cout_r)
         else:  # non-separable / non-4-tap blur: fine-resolution fallback
             rgb = _depth_to_space2(rgb4, cout_r) + upsample2x(skip, blur_kernel)
     else:
+        if _PACKED_OUTPUT and not unpack_out:
+            return None, rgb4
         rgb = _depth_to_space2(rgb4, cout_r)
     nxt = _depth_to_space2(z4, cout2) if unpack_out else None
     return nxt, rgb

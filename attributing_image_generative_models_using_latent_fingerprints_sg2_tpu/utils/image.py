@@ -19,6 +19,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def unpack_phases(packed: np.ndarray) -> np.ndarray:
+    """Host-side depth-to-space for phase-packed model output.
+
+    [B, H, W, 4*C] (phase-major: packed channel (p*2+q)*C + c holds fine
+    pixel (2y+p, 2x+q, c) --- models.stylegan2._depth_to_space2's layout)
+    -> [B, 2H, 2W, C].  Pure numpy reshape/transpose; used by consumers
+    of ``enable_packed_output`` synthesis, where the device skips the
+    final layout shuffle and the host (or the PNG writer's row loop)
+    interleaves instead."""
+    arr = np.asarray(packed)
+    b, h, w, c4 = arr.shape
+    if c4 % 4:
+        raise ValueError(f"packed channel dim must be divisible by 4, got {c4}")
+    c = c4 // 4
+    y = arr.reshape(b, h, w, 2, 2, c)
+    y = np.transpose(y, (0, 1, 3, 2, 4, 5))
+    return np.ascontiguousarray(y.reshape(b, 2 * h, 2 * w, c))
+
+
 def make_image(imgs: jax.Array, get_device_array: bool = False):
     """[-1,1] float NHWC -> uint8 NHWC (host numpy unless asked otherwise).
 

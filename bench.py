@@ -1050,6 +1050,13 @@ def main() -> int:
                              "generation, +20%% attribution), 0 below "
                              "(packing the C=64 512px block measured "
                              "-1.8%%); 0 disables")
+    parser.add_argument("--packed_output", action="store_true",
+                        help="with --packed_tail: return the final block's "
+                             "RGB phase-packed ([B,H/2,W/2,12]) and skip "
+                             "the device depth-to-space; host unpacks "
+                             "(utils.image.unpack_phases). A/B of the "
+                             "packed pipeline's one remaining fine-layout "
+                             "materialization")
     parser.add_argument("--polyphase_up", action="store_true",
                         help="shifted-add polyphase spelling of the ToRGB-skip "
                              "2x upsample instead of the lhs-dilated conv (A/B)")
@@ -1156,6 +1163,12 @@ def main() -> int:
         )
 
         enable_packed_tail(args.packed_tail)
+    if args.packed_output:
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.models.stylegan2 import (
+            enable_packed_output,
+        )
+
+        enable_packed_output(True)
 
     last_err: Exception | None = None
     for attempt in range(RETRIES):

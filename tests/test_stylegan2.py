@@ -375,6 +375,36 @@ class TestPackedTail:
             sg2.enable_packed_tail(0)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_packed_output_host_unpack_matches_default(self):
+        """enable_packed_output returns the final block's RGB phase-packed
+        ([B, H/2, W/2, 12]); the host unpacker (utils.image.unpack_phases)
+        must reproduce the default path's image exactly (same packed
+        numerics as packed_tail, only the layout shuffle moves to host)."""
+        from attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.utils.image import (
+            unpack_phases,
+        )
+
+        cfg, params, w = self._setup()
+        noise = self._noise_for(cfg)
+        try:
+            sg2.enable_packed_tail(1)
+            want = np.asarray(sg2.synthesis(params, w, noise))
+            sg2.enable_packed_output(True)
+            packed = np.asarray(sg2.synthesis(params, w, noise))
+        finally:
+            sg2.enable_packed_output(False)
+            sg2.enable_packed_tail(0)
+        s = cfg.img_size
+        assert packed.shape == (2, s // 2, s // 2, 12), packed.shape
+        np.testing.assert_array_equal(unpack_phases(packed), want)
+        # without packed_tail the flag is inert: default fine-layout output
+        try:
+            sg2.enable_packed_output(True)
+            plain = np.asarray(sg2.synthesis(params, w, noise))
+        finally:
+            sg2.enable_packed_output(False)
+        assert plain.shape == (2, s, s, 3)
+
     def test_remat_packed(self):
         cfg, params, w = self._setup()
         noise = self._noise_for(cfg)
