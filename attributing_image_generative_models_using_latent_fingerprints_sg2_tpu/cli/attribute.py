@@ -15,6 +15,7 @@ steps with a [sample_size x n] generator batch.
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 import sys
 import time
@@ -130,6 +131,22 @@ def main(argv=None) -> int:
         targets = jax.lax.stop_gradient(targets)
         box.append(targets)
     print(f"[attribute] {s_total} targets generated in {time.time()-t0:.1f}s")
+    # Chunk slicer: slicing a DEVICE array at a python offset compiles a
+    # fresh tiny program per distinct start (~3 per chunk x
+    # sample_size/chunk chunks) — free on a local backend but a real
+    # hazard through the remote-compile tunnel, where one slow-compile
+    # episode stalls the run mid-flight (observed round 5).  A single
+    # jitted dynamic_slice with the start as DATA compiles once per
+    # chunk size and serves every offset; arrays stay on device.
+    _dslice = jax.jit(
+        functools.partial(jax.lax.dynamic_slice_in_dim, axis=0),
+        static_argnames="slice_size",
+    )
+
+    def _chunk_of(arr, c0, c1):
+        if c0 == 0 and c1 >= s_total:
+            return arr
+        return _dslice(arr, c0, slice_size=c1 - c0)
 
     # --- solve -------------------------------------------------------------
     # data-parallel mesh over all visible devices when >1 (or --mesh_data)
@@ -208,7 +225,7 @@ def main(argv=None) -> int:
                 pipe.lpips_params,
                 pipe.basis,
                 pipe.noise,
-                targets[c0:c1],
+                _chunk_of(targets, c0, c1),
                 jax.random.fold_in(k_opt, c0),
                 chunk_starts=args.chunk_starts,
                 solve_fn=solve_fn,
@@ -223,8 +240,8 @@ def main(argv=None) -> int:
                 success += 1
             print(f"sample: {c0+i}, bit acc: {a:.4f}, loss: {float(res.loss[i]):.6f}")
         # store result images for this chunk (ref src/main.py:129-144)
-        w0_imgs = pl.synthesize(pipe, w0[c0:c1])
-        store_results(run_dir, c0, make_image(w0_imgs), make_image(imgs[c0:c1]))
+        w0_imgs = pl.synthesize(pipe, _chunk_of(w0, c0, c1))
+        store_results(run_dir, c0, make_image(w0_imgs), make_image(_chunk_of(imgs, c0, c1)))
         attribution_acc = success / len(bit_accs)
         write_results(run_dir, bit_accs, attribution_acc)
         state.next_sample = c1

@@ -113,7 +113,9 @@ def identification_point(
         atk_cfg = _dc.replace(AttackConfig(), augmentation=attack)
         fn = make_attack(atk_cfg, is_train=False)
         targets = fn(targets, jax.random.fold_in(rng, 0xA77))
-    targets = jax.lax.stop_gradient(targets)
+    # host copy: per-offset device-array slicing compiles per chunk start
+    # (remote-compile stall hazard; see cli/attribute.py)
+    targets = np.asarray(jax.lax.stop_gradient(targets))
 
     chunk = chunk_samples or samples
     logits_all, bits_all = [], []

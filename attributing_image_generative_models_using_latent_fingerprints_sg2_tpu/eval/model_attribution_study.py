@@ -129,7 +129,10 @@ def model_attribution_point(
         targets_list.append(np.asarray(t))
         true_bits.append(b)
         source += [name] * samples_per_model
-    targets = jnp.asarray(np.concatenate(targets_list))
+    # host array: per-offset device slicing in the chunk loop would
+    # compile a tiny program per chunk start (remote-compile stall
+    # hazard; see cli/attribute.py) — numpy slices avoid it
+    targets = np.concatenate(targets_list)
     true_bits = np.concatenate(true_bits)  # [S_total, K]
     source = np.asarray(source)
     s_total = targets.shape[0]

@@ -137,7 +137,10 @@ def eval_point(
         atk_cfg_full = dataclasses.replace(base, augmentation=attack)
         fn = make_attack(atk_cfg_full, is_train=False)
         targets = fn(targets, k_atk)
-    targets = jax.lax.stop_gradient(targets)
+    # host copy: per-offset DEVICE-array slicing in the chunk loop compiles
+    # a tiny program per chunk start — a stall hazard through the
+    # remote-compile tunnel (see cli/attribute.py)
+    targets = np.asarray(jax.lax.stop_gradient(targets))
 
     chunk = chunk_samples or samples
     res_bits, res_losses, res_accs = [], [], []
