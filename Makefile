@@ -5,7 +5,7 @@ PY ?= python
 .PHONY: all native test test-fast bench bench_dataload dryrun parity \
         quality_selftrain headline robustness scaling capacity perceptual \
         polish attackaware report pruning identification bestrecipe \
-        model_attribution spectrum clean
+        model_attribution spectrum encoderinit clean
 
 all: native
 
@@ -87,6 +87,12 @@ pruning:
 
 identification:
 	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study identification
+
+# Encoder-initialized solving (round-5): amortized inverter trained on
+# frozen-generator pairs replaces the blind LHS restart init; A/B against
+# the matching headline/robustness rows at identical solver budget.
+encoderinit:
+	$(PY) -m attributing_image_generative_models_using_latent_fingerprints_sg2_tpu.cli.study encoderinit
 
 # Composed best-recipe solver (round-4): pruning-reinvested restarts +
 # soft-sign polish (+ attack-aware disc-feature loss on attacked rows),

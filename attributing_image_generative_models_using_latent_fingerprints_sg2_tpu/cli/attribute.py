@@ -54,6 +54,27 @@ def main(argv=None) -> int:
         "attribution_state.json; seeds and sample order are reproduced)",
     )
     parser.add_argument(
+        "--init", choices=["lhs", "encoder"], default="lhs",
+        help="restart initialization: blind centered-LHS (the reference's "
+        "scheme, src/main.py:46-52) or an amortized inverter trained on "
+        "frozen-generator pairs at startup (fingerprint/encoder.py) whose "
+        "prediction centers every restart.  CLI-only (not saved in the "
+        "run config); honored on --resume like the chunk flags",
+    )
+    parser.add_argument(
+        "--encoder_steps", type=int, default=1500,
+        help="--init encoder: supervised training steps for the inverter",
+    )
+    parser.add_argument(
+        "--encoder_batch", type=int, default=64,
+        help="--init encoder: rendered batch per training step",
+    )
+    parser.add_argument(
+        "--encoder_jitter", type=float, default=0.25,
+        help="--init encoder: LHS cloud radius around the prediction, "
+        "in units of sigma_rest",
+    )
+    parser.add_argument(
         "--profile", action="store_true",
         help="record per-phase wall-clock timings (and a jax.profiler "
         "trace of the first solve chunk into <run_dir>/trace) and print "
@@ -148,6 +169,42 @@ def main(argv=None) -> int:
             return arr
         return _dslice(arr, c0, slice_size=c1 - c0)
 
+    # --- amortized encoder init (beyond-parity; fingerprint/encoder.py) ---
+    alpha_init_all = key_init_all = None
+    if args.init == "encoder":
+        from ..fingerprint import encoder as enc_mod
+
+        t0 = time.time()
+        ecfg = enc_mod.EncoderConfig(
+            steps=args.encoder_steps, batch=args.encoder_batch,
+            jitter=args.encoder_jitter,
+        )
+        k_enc, k_einit = jax.random.split(jax.random.fold_in(key, 7))
+        with prof.phase("train_encoder"):
+            enc_params, enc_curve = enc_mod.train_encoder(
+                k_enc, pipe.gen_params, pipe.basis, pipe.noise,
+                mcfg=cfg.model, ecfg=ecfg,
+                attack=cfg.attack.augmentation,
+                attack_cfg=(
+                    cfg.attack if cfg.attack.augmentation != "None" else None
+                ),
+            )
+            alpha_init_all, key_init_all = enc_mod.encoder_solve_init(
+                enc_params, pipe.basis, targets, cfg.attribution.n_starts,
+                k_einit, jitter=args.encoder_jitter,
+            )
+            enc_acc = float(
+                np.mean(np.asarray(
+                    enc_mod.encoder_bit_accuracy(enc_params, targets, true_bits)
+                ))
+            )
+        print(
+            f"[attribute] encoder trained in {time.time()-t0:.1f}s "
+            f"({args.encoder_steps} steps, final loss "
+            f"{float(np.asarray(enc_curve)[-1]):.4f}); zero-step decode "
+            f"bit acc {enc_acc:.4f}"
+        )
+
     # --- solve -------------------------------------------------------------
     # data-parallel mesh over all visible devices when >1 (or --mesh_data)
     mesh = None
@@ -191,6 +248,9 @@ def main(argv=None) -> int:
         )
         if cfg.attribution.solver_attack != "None":
             kw["attack_cfg"] = cfg.attack
+        if alpha_init_all is not None:
+            kw["alpha_init"] = _chunk_of(alpha_init_all, c0, c1)
+            kw["key_init"] = _chunk_of(key_init_all, c0, c1)
         # jax.profiler trace of the first solve chunk (--profile);
         # prof.trace degrades to a warning on platforms without profiler
         trace_ctx = (

@@ -21,7 +21,8 @@ import sys
 RESULT_DIR = "result"
 STUDIES = ["headline", "robustness", "scaling", "perceptual", "polish",
            "attackaware", "pruning", "bestrecipe", "capacity",
-           "identification", "model_attribution", "spectrum"]
+           "identification", "model_attribution", "spectrum",
+           "encoderinit"]
 
 
 def _load(name: str):
@@ -89,6 +90,8 @@ def _baseline_row(name: str, rec, baselines):
     if name == "attackaware" and tag.endswith("_aware"):
         return baselines.get(tag[: -len("_aware")])
     base = tag
+    if name == "encoderinit" and tag.endswith("_enc"):
+        return baselines.get(tag[: -len("_enc")] + "_lhs")
     for suffix in ("_polish2_soft", "_polish2_m5", "_polish2",
                    "_prune20to5", "_n40prune8", "_best"):
         if base.endswith(suffix):
@@ -97,7 +100,13 @@ def _baseline_row(name: str, rec, baselines):
 
 
 def _ab_rows(name: str, recs):
-    if name == "bestrecipe":
+    if name == "encoderinit":
+        # self-contained study: *_enc rows pair with the *_lhs rows
+        # solved on the same retrained model (see cmd_encoderinit)
+        src = "same-model _lhs rows"
+        baselines = {r["tag"]: r for r in recs if r["tag"].endswith("_lhs")}
+        recs = [r for r in recs if r["tag"].endswith("_enc")]
+    elif name == "bestrecipe":
         # clean rows pair with headline tags, attacked rows with
         # robustness tags --- merge both baseline pools
         src = "headline+robustness"
@@ -112,13 +121,17 @@ def _ab_rows(name: str, recs):
         delta = (f"{r['mean_bit_acc'] - b['mean_bit_acc']:+.4f} / "
                  f"{r['exact_match_k'] - b['exact_match_k']:+d} exact"
                  if b else "(no baseline row)")
-        rows.append([r["tag"], _acc_cell(r), _exact_cell(r), delta,
-                     r.get("chain_steps_per_sample", ""),
-                     f"{r.get('wall_s', 0):.0f}s"])
-    return _table(rows, ["point", "mean bit acc [95% CI]",
-                         "exact match [95% CI]",
-                         f"delta vs {src} (bit acc / exact)",
-                         "chain-steps/sample", "wall"])
+        row = [r["tag"], _acc_cell(r), _exact_cell(r), delta,
+               r.get("chain_steps_per_sample", ""),
+               f"{r.get('wall_s', 0):.0f}s"]
+        if name == "encoderinit":
+            row.insert(3, f"{r.get('encoder_bit_acc', float('nan')):.4f}")
+        rows.append(row)
+    hdr = ["point", "mean bit acc [95% CI]", "exact match [95% CI]",
+           f"delta vs {src} (bit acc / exact)", "chain-steps/sample", "wall"]
+    if name == "encoderinit":
+        hdr.insert(3, "encoder 0-step acc")
+    return _table(rows, hdr)
 
 
 def render(name: str, recs) -> str:
@@ -221,7 +234,7 @@ def render(name: str, recs) -> str:
                    "mean bit acc [95% CI]", "exact match [95% CI]",
                    "key-band sigma med", "content sigma med",
                    "spectrum ratio", "bit-vs-sigma Spearman"])
-    if name in ("pruning", "polish", "attackaware"):
+    if name in ("pruning", "polish", "attackaware", "encoderinit"):
         return title + "\n" + _ab_rows(name, recs)
     if name == "identification":
         rows = []

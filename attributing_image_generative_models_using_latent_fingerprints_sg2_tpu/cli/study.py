@@ -65,7 +65,8 @@ def _parser() -> argparse.ArgumentParser:
                                    "capacity", "perceptual", "polish",
                                    "attackaware", "pruning",
                                    "identification", "bestrecipe",
-                                   "model_attribution", "spectrum"])
+                                   "model_attribution", "spectrum",
+                                   "encoderinit"])
     p.add_argument("--out", type=str, default="")
     p.add_argument("--cache_dir", type=str, default=DEFAULT_CACHE,
                    help="trained-generator cache (.npz per recipe)")
@@ -351,6 +352,43 @@ def cmd_attackaware(args) -> int:
         for atk in ["Blur", "Jpeg", "Crop", "Combination"]
     ]
     return _run_points(args, specs, "result/study_attackaware.json")
+
+
+def cmd_encoderinit(args) -> int:
+    """Amortized-encoder initialization A/B (fingerprint/encoder.py): the
+    round-4 diagnosis says kl=64 exact-match failures are wrong-basin
+    failures, so replace the blind centered-LHS restart init (ref
+    src/main.py:46-52) with a learned inverter's prediction plus a local
+    LHS cloud.  Rows re-solve the headline wall points (and the two
+    hardest attacked rows, with the encoder trained through the same
+    deterministic channel model) at the identical solver budget — the
+    only delta is where the restart chains start.  Each record carries
+    the encoder's own zero-step decode accuracy (``encoder_bit_acc``)
+    and training wall time next to the solve results.
+
+    The study is self-contained: every ``*_enc`` row has a matching
+    ``*_lhs`` baseline row solved on the SAME retrained model with the
+    same seeds and budget (the /tmp model cache does not survive between
+    rounds, so pairing against the committed headline records would
+    compare different training draws — the round-4 campaign re-measured
+    its baselines for the same reason)."""
+    mk = {"img_size": 64, "channel_max": 128, "train_steps": 3000}
+    mk128 = {"img_size": 128, "channel_max": 128, "train_steps": 3000}
+    points = [
+        ("64px_cm128_t3000_kl64_s6", mk, {"key_len": 64, "sigma": 6.0}),
+        ("64px_cm128_t3000_kl64_s3", mk, {"key_len": 64, "sigma": 3.0}),
+        ("64px_cm128_t3000_kl32_s6", mk, {"key_len": 32, "sigma": 6.0}),
+        ("128px_cm128_t3000_kl64_s6", mk128, {"key_len": 64, "sigma": 6.0}),
+        ("64px_kl32_s6_Crop", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": "Crop"}),
+        ("64px_kl32_s6_Jpeg", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": "Jpeg"}),
+    ]
+    specs = []
+    for tag, mks, ek in points:
+        specs.append((f"{tag}_lhs", mks, dict(ek)))
+        specs.append((f"{tag}_enc", mks, {**ek, "init": "encoder"}))
+    return _run_points(args, specs, "result/study_encoderinit.json")
 
 
 def cmd_pruning(args) -> int:
@@ -761,6 +799,7 @@ def main(argv=None) -> int:
         "bestrecipe": cmd_bestrecipe,
         "model_attribution": cmd_model_attribution,
         "spectrum": cmd_spectrum,
+        "encoderinit": cmd_encoderinit,
     }[args.cmd](args)
 
 

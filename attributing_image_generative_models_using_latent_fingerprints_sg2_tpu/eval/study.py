@@ -104,6 +104,10 @@ def eval_point(
     attack_aware: bool = False,
     prune_starts: int = 0,
     prune_frac: float = 0.25,
+    init: str = "lhs",
+    encoder_steps: int = 1500,
+    encoder_batch: int = 64,
+    encoder_jitter: float = 0.25,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
     report accuracy WITH confidence intervals and per-bit diagnostics.
@@ -142,10 +146,60 @@ def eval_point(
     # remote-compile tunnel (see cli/attribute.py)
     targets = np.asarray(jax.lax.stop_gradient(targets))
 
+    # --- amortized encoder init (beyond-parity; fingerprint/encoder.py) ---
+    enc_meta: Dict[str, Any] = {}
+    alpha_init = key_init = None
+    if init == "encoder":
+        import time as _time
+
+        from ..fingerprint import encoder as enc_mod
+
+        t_enc = _time.time()
+        ecfg = enc_mod.EncoderConfig(
+            steps=encoder_steps, batch=encoder_batch, jitter=encoder_jitter
+        )
+        # deployment semantics: the provider knows the channel it is
+        # testing (same assumption as attack-aware solving), so the
+        # encoder trains through the deterministic channel model whenever
+        # the targets are attacked
+        k_enc, k_einit = jax.random.split(jax.random.fold_in(rng, 7))
+        enc_params, enc_curve = enc_mod.train_encoder(
+            k_enc, pipe.gen_params, basis, pipe.noise,
+            mcfg=pipe.mcfg, ecfg=ecfg,
+            attack=(attack if attack != "None" else "None"),
+            attack_cfg=atk_cfg_full,
+        )
+        tgt_dev = jnp.asarray(targets)
+        alpha_init, key_init = enc_mod.encoder_solve_init(
+            enc_params, basis, tgt_dev, n_starts, k_einit,
+            jitter=encoder_jitter,
+        )
+        enc_acc = np.asarray(
+            enc_mod.encoder_bit_accuracy(enc_params, tgt_dev, bits)
+        )
+        alpha_init = np.asarray(alpha_init)
+        key_init = np.asarray(key_init)
+        enc_meta = {
+            "init": "encoder",
+            "encoder_steps": encoder_steps,
+            "encoder_batch": encoder_batch,
+            "encoder_jitter": encoder_jitter,
+            "encoder_bit_acc": float(enc_acc.mean()),
+            "encoder_exact_k": int((enc_acc >= 1.0).sum()),
+            "encoder_final_train_loss": float(np.asarray(enc_curve)[-1]),
+            "encoder_train_wall_s": round(_time.time() - t_enc, 1),
+        }
+
     chunk = chunk_samples or samples
     res_bits, res_losses, res_accs = [], [], []
     for c0 in range(0, samples, chunk):
         c1 = min(c0 + chunk, samples)
+        init_kw = {}
+        if alpha_init is not None:
+            init_kw = dict(
+                alpha_init=jnp.asarray(alpha_init[c0:c1]),
+                key_init=jnp.asarray(key_init[c0:c1]),
+            )
         res = attr.attribute_chunked(
             pipe.gen_params,
             lpips_params if loss == "perceptual" else None,
@@ -158,6 +212,7 @@ def eval_point(
             acfg=acfg,
             dtype=dtype,
             attack_cfg=(atk_cfg_full if attack_aware else None),
+            **init_kw,
         )
         got = np.asarray(res.key_bits)
         want = np.asarray(bits[c0:c1])
@@ -208,6 +263,7 @@ def eval_point(
         "band_sigma_median": float(np.median(band)),
         "content_sigma_median": float(np.median(sig[:shift])),
         "spectrum_decile_sigmas": np.quantile(sig, np.linspace(0, 1, 11)).tolist(),
+        **enc_meta,
     }
 
 

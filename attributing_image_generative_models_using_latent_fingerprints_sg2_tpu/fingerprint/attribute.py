@@ -363,11 +363,19 @@ def attribute(
     class_onehot: Optional[jax.Array] = None,
     truncation: float = 0.4,
     attack_cfg=None,
+    alpha_init: Optional[jax.Array] = None,
+    key_init: Optional[jax.Array] = None,
 ) -> AttributionResult:
     """Solve attribution for a batch of target images in one XLA program.
 
     Equivalent of ``optimization()`` (/root/reference/src/main.py:45-89)
     over all samples at once.
+
+    ``alpha_init``/``key_init`` ([S, n, D-K] / [S, n, K]) override the
+    blind LHS/zero restart initialization — the encoder-init path
+    (fingerprint/encoder.py) builds them around an amortized inverter's
+    prediction; the reference has no equivalent (random init only,
+    src/main.py:46-52).
     """
     n_starts = acfg.n_starts if n_starts is None else n_starts
     steps = acfg.steps if steps is None else steps
@@ -375,8 +383,16 @@ def attribute(
     s_ = targets.shape[0]
 
     # --- restart initialization -------------------------------------------
-    alpha0 = lhs_alpha_init_batch(rng, s_, n_starts, basis.sigma_rest)  # [S,n,D-K]
-    key0 = jnp.zeros((s_, n_starts, basis.v_cap.shape[0]))
+    alpha0 = (
+        alpha_init
+        if alpha_init is not None
+        else lhs_alpha_init_batch(rng, s_, n_starts, basis.sigma_rest)
+    )  # [S,n,D-K]
+    key0 = (
+        key_init
+        if key_init is not None
+        else jnp.zeros((s_, n_starts, basis.v_cap.shape[0]))
+    )
     opt_params = {"alpha": alpha0, "key": key0}
 
     # --- target features (once per sample) --------------------------------
@@ -525,8 +541,15 @@ def attribute_chunked(
     offset = 0
     for c0 in range(0, n_total, chunk_starts):
         n_c = min(chunk_starts, n_total - c0)
+        kw_c = kwargs
+        if kwargs.get("alpha_init") is not None or kwargs.get("key_init") is not None:
+            # per-restart init arrays ([S, n_total, ...]) follow their chunk
+            kw_c = dict(kwargs)
+            for name in ("alpha_init", "key_init"):
+                if kw_c.get(name) is not None:
+                    kw_c[name] = kw_c[name][:, c0 : c0 + n_c]
         res = solve_fn(
-            targets, jax.random.fold_in(rng, c0), n_starts=n_c, **kwargs
+            targets, jax.random.fold_in(rng, c0), n_starts=n_c, **kw_c
         )
         if best is None:
             best = res
