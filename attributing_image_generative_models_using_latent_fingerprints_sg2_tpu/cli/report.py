@@ -90,8 +90,10 @@ def _baseline_row(name: str, rec, baselines):
     if name == "attackaware" and tag.endswith("_aware"):
         return baselines.get(tag[: -len("_aware")])
     base = tag
-    if name == "encoderinit" and tag.endswith("_enc"):
-        return baselines.get(tag[: -len("_enc")] + "_lhs")
+    if name == "encoderinit":
+        for sfx in ("_encaware", "_aware", "_enc"):
+            if tag.endswith(sfx):
+                return baselines.get(tag[: -len(sfx)] + "_lhs")
     for suffix in ("_polish2_soft", "_polish2_m5", "_polish2",
                    "_prune20to5", "_n40prune8", "_best"):
         if base.endswith(suffix):
@@ -105,7 +107,7 @@ def _ab_rows(name: str, recs):
         # solved on the same retrained model (see cmd_encoderinit)
         src = "same-model _lhs rows"
         baselines = {r["tag"]: r for r in recs if r["tag"].endswith("_lhs")}
-        recs = [r for r in recs if r["tag"].endswith("_enc")]
+        recs = [r for r in recs if not r["tag"].endswith("_lhs")]
     elif name == "bestrecipe":
         # clean rows pair with headline tags, attacked rows with
         # robustness tags --- merge both baseline pools
@@ -125,7 +127,8 @@ def _ab_rows(name: str, recs):
                r.get("chain_steps_per_sample", ""),
                f"{r.get('wall_s', 0):.0f}s"]
         if name == "encoderinit":
-            row.insert(3, f"{r.get('encoder_bit_acc', float('nan')):.4f}")
+            ea = r.get("encoder_bit_acc")
+            row.insert(3, f"{ea:.4f}" if ea is not None else "—")
         rows.append(row)
     hdr = ["point", "mean bit acc [95% CI]", "exact match [95% CI]",
            f"delta vs {src} (bit acc / exact)", "chain-steps/sample", "wall"]

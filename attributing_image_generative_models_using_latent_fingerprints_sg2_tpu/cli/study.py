@@ -388,6 +388,14 @@ def cmd_encoderinit(args) -> int:
     for tag, mks, ek in points:
         specs.append((f"{tag}_lhs", mks, dict(ek)))
         specs.append((f"{tag}_enc", mks, {**ek, "init": "encoder"}))
+        if ek.get("attack", "None") != "None":
+            # composition rows on the attacked points: attack-aware solving
+            # alone (round-4's best per-condition recipe) and attack-aware
+            # stacked with the encoder init — all four cells on the same
+            # model draw so the deltas are same-model/same-seeds
+            specs.append((f"{tag}_aware", mks, {**ek, "attack_aware": True}))
+            specs.append((f"{tag}_encaware", mks,
+                          {**ek, "init": "encoder", "attack_aware": True}))
     return _run_points(args, specs, "result/study_encoderinit.json")
 
 
@@ -728,6 +736,22 @@ def cmd_identification(args) -> int:
          dict(key_len=64, sigma=3.0, issuance="rm",
               registry_sizes=(1000, 10000, 100000, 1000000),
               attack="Crop", attack_aware=True)),
+        # round-5: the same N=1e6 frontier rows solved with the amortized
+        # encoder init (BASELINE encoderinit study: better at every
+        # measured point; lower p_bit compounds through the soft-decode
+        # margins exactly where large registries need it)
+        ("kl64_s3_None_rm_enc",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="None", init="encoder")),
+        ("kl64_s3_Jpeg_encaware_rm",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="Jpeg", attack_aware=True, init="encoder")),
+        ("kl64_s3_Crop_encaware_rm",
+         dict(key_len=64, sigma=3.0, issuance="rm",
+              registry_sizes=(1000, 10000, 100000, 1000000),
+              attack="Crop", attack_aware=True, init="encoder")),
     ]
     for suffix, kw in id_points:
         tag = f"ident_64px_{suffix}"

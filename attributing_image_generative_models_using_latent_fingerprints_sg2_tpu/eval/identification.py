@@ -48,6 +48,9 @@ def identification_point(
     attack: str = "None",
     attack_aware: bool = False,
     issuance: str = "rejection",
+    init: str = "lhs",
+    encoder_steps: int = 1500,
+    encoder_jitter: float = 0.25,
 ) -> Dict[str, Any]:
     """Generate ``samples`` images planted with registry keys, solve them
     once, and decode the user against every registry prefix size.
@@ -117,15 +120,58 @@ def identification_point(
     # (remote-compile stall hazard; see cli/attribute.py)
     targets = np.asarray(jax.lax.stop_gradient(targets))
 
+    # amortized encoder init (fingerprint/encoder.py): train the inverter
+    # through the same channel model the attack-aware solve uses and start
+    # every restart chain around its prediction --- measured better at
+    # every operating point (BASELINE round-5 encoderinit study)
+    enc_meta: Dict[str, Any] = {}
+    alpha_init = key_init = None
+    if init == "encoder":
+        import time as _time
+
+        from ..fingerprint import encoder as enc_mod
+
+        t_enc = _time.time()
+        ecfg = enc_mod.EncoderConfig(steps=encoder_steps, jitter=encoder_jitter)
+        k_enc, k_einit = jax.random.split(jax.random.fold_in(rng, 7))
+        enc_params, enc_curve = enc_mod.train_encoder(
+            k_enc, pipe.gen_params, basis, pipe.noise,
+            mcfg=pipe.mcfg, ecfg=ecfg, attack=attack, attack_cfg=atk_cfg,
+        )
+        tgt_dev = jnp.asarray(targets)
+        a0, k0 = enc_mod.encoder_solve_init(
+            enc_params, basis, tgt_dev, n_starts, k_einit,
+            jitter=encoder_jitter,
+        )
+        alpha_init, key_init = np.asarray(a0), np.asarray(k0)
+        enc_acc = np.asarray(
+            enc_mod.encoder_bit_accuracy(enc_params, tgt_dev, bits)
+        )
+        enc_meta = {
+            "init": "encoder",
+            "encoder_steps": encoder_steps,
+            "encoder_jitter": encoder_jitter,
+            "encoder_bit_acc": float(enc_acc.mean()),
+            "encoder_final_train_loss": float(np.asarray(enc_curve)[-1]),
+            "encoder_train_wall_s": round(_time.time() - t_enc, 1),
+        }
+
     chunk = chunk_samples or samples
     logits_all, bits_all = [], []
     for c0 in range(0, samples, chunk):
         c1 = min(c0 + chunk, samples)
+        init_kw = {}
+        if alpha_init is not None:
+            init_kw = dict(
+                alpha_init=jnp.asarray(alpha_init[c0:c1]),
+                key_init=jnp.asarray(key_init[c0:c1]),
+            )
         res = attr.attribute_chunked(
             pipe.gen_params, None, basis, pipe.noise, targets[c0:c1],
             jax.random.fold_in(k_opt, c0),
             mcfg=pipe.mcfg, acfg=acfg, dtype=dtype,
             attack_cfg=(atk_cfg if attack_aware else None),
+            **init_kw,
         )
         logits_all.append(np.asarray(res.key_logits, np.float64))
         bits_all.append(np.asarray(res.key_bits))
@@ -189,4 +235,5 @@ def identification_point(
         "measured_p_bit": p_bit,
         "mean_bit_acc": 1.0 - p_bit,
         "by_registry_size": per_n,
+        **enc_meta,
     }
