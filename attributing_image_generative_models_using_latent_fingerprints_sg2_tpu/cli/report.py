@@ -91,7 +91,7 @@ def _baseline_row(name: str, rec, baselines):
         return baselines.get(tag[: -len("_aware")])
     base = tag
     if name == "encoderinit":
-        for sfx in ("_encaware", "_aware", "_enc"):
+        for sfx in ("_encaware", "_aware", "_enc24k", "_enc6kj50", "_enc6k", "_enc"):
             if tag.endswith(sfx):
                 return baselines.get(tag[: -len(sfx)] + "_lhs")
     for suffix in ("_polish2_soft", "_polish2_m5", "_polish2",

@@ -48,6 +48,24 @@ def main(argv=None) -> int:
         help="KeyRegistry JSON (cli.keys issue) enabling /v1/identify and "
         "generate-for-user",
     )
+    parser.add_argument(
+        "--init", choices=["lhs", "encoder"], default="lhs",
+        help="restart init for served attribution: blind centered-LHS or "
+        "an amortized inverter trained at startup on frozen-generator "
+        "pairs (fingerprint/encoder.py; measured better at every "
+        "operating point — BASELINE.md round-5).  The inverter's forward "
+        "is baked into the AOT bucket executables, so steady-state "
+        "dispatch is unchanged",
+    )
+    parser.add_argument(
+        "--encoder_steps", type=int, default=1500,
+        help="--init encoder: supervised training steps for the inverter",
+    )
+    parser.add_argument(
+        "--encoder_jitter", type=float, default=0.25,
+        help="--init encoder: LHS cloud radius around the prediction, "
+        "in units of sigma_rest",
+    )
     args = parser.parse_args(argv)
     setup_compile_cache(args.compile_cache)
     cfg = config_from_args(args)
@@ -101,6 +119,24 @@ def main(argv=None) -> int:
         registry = KeyRegistry.load(args.registry)
         print(f"[serve] registry: {len(registry)} users, "
               f"min_distance {registry.min_distance}")
+    encoder_params = None
+    if args.init == "encoder" and not args.no_attribute:
+        import time as _time
+
+        from ..fingerprint import encoder as enc_mod
+
+        t0 = _time.time()
+        encoder_params, enc_curve = enc_mod.train_encoder(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.run.seed), 7),
+            pipe.gen_params, pipe.basis, pipe.noise,
+            mcfg=cfg.model,
+            ecfg=enc_mod.EncoderConfig(
+                steps=args.encoder_steps, jitter=args.encoder_jitter
+            ),
+        )
+        print(f"[serve] encoder trained in {_time.time()-t0:.1f}s "
+              f"({args.encoder_steps} steps, final loss "
+              f"{float(enc_curve[-1]):.4f})")
     engine = InferenceEngine(
         pipe,
         acfg=None if args.no_attribute else cfg.attribution,
@@ -109,6 +145,8 @@ def main(argv=None) -> int:
         mesh=mesh,
         shard_model=cfg.run.mesh_model > 1,
         registry=registry,
+        encoder_params=encoder_params,
+        encoder_jitter=args.encoder_jitter,
     )
     print(f"[serve] AOT-compiling buckets {buckets} ...", flush=True)
     took = {k: round(v, 1) for k, v in engine.warmup().items()}

@@ -396,6 +396,16 @@ def cmd_encoderinit(args) -> int:
             specs.append((f"{tag}_aware", mks, {**ek, "attack_aware": True}))
             specs.append((f"{tag}_encaware", mks,
                           {**ek, "init": "encoder", "attack_aware": True}))
+    # encoder-budget scaling at the kl=64 wall points: 4x training steps
+    # (amortized pretraining, not solver budget — the solve stays
+    # budget-matched), and a wider exploration cloud at the bigger budget
+    for tag, mks in (("128px_cm128_t3000_kl64_s6", mk128),
+                     ("64px_cm128_t3000_kl64_s6", mk)):
+        base = {"key_len": 64, "sigma": 6.0, "init": "encoder"}
+        specs.append((f"{tag}_enc6k", mks, {**base, "encoder_steps": 6000}))
+        specs.append((f"{tag}_enc6kj50", mks,
+                      {**base, "encoder_steps": 6000, "encoder_jitter": 0.5}))
+        specs.append((f"{tag}_enc24k", mks, {**base, "encoder_steps": 24000}))
     return _run_points(args, specs, "result/study_encoderinit.json")
 
 

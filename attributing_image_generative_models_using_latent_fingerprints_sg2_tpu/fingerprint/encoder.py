@@ -134,32 +134,29 @@ def apply_encoder(params: Params, imgs: jax.Array) -> Tuple[jax.Array, jax.Array
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "ecfg", "attack", "attack_cfg", "steps_override"),
+    static_argnames=("mcfg", "ecfg", "attack", "attack_cfg"),
 )
-def train_encoder(
-    rng: jax.Array,
+def _train_chunk(
+    enc: Params,
+    opt_state,
+    keys: jax.Array,
     gen_params: Params,
     basis: FingerprintBasis,
     noise: Tuple[jax.Array, ...],
     *,
     mcfg: ModelConfig,
-    ecfg: EncoderConfig = EncoderConfig(),
+    ecfg: EncoderConfig,
     attack: str = "None",
     attack_cfg=None,
-    steps_override: Optional[int] = None,
-) -> Tuple[Params, jax.Array]:
-    """Train the inverter on frozen-generator pairs; one XLA program.
-
-    Each scan step draws ``(alpha, k)`` from the embedding priors
-    (alpha ~ sigma_rest * N(0,1) per src/main.py:122 semantics; k ~ U{0,1}),
-    renders the fingerprinted image with the pipeline's fixed noise,
-    optionally pushes it through the deterministic attack channel
-    (``attacks.make_solver_attack`` — the same channel model attack-aware
-    solving uses), and regresses (whitened alpha, key logits).
-
-    Returns ``(encoder_params, loss_curve[steps])``.
-    """
-    steps = int(steps_override) if steps_override is not None else ecfg.steps
+):
+    """One jitted ``lax.scan`` segment of encoder training (see
+    ``train_encoder``).  Each scan step draws ``(alpha, k)`` from the
+    embedding priors (alpha ~ sigma_rest * N(0,1) per src/main.py:122
+    semantics; k ~ U{0,1}), renders the fingerprinted image with the
+    pipeline's fixed noise, optionally pushes it through the
+    deterministic attack channel (``attacks.make_solver_attack`` — the
+    same channel model attack-aware solving uses), and regresses
+    (whitened alpha, key logits)."""
     d_alpha = basis.sigma_rest.shape[0]
     key_len = basis.v_cap.shape[0]
     nl = sg2.n_latent(mcfg.img_size)
@@ -173,10 +170,7 @@ def train_encoder(
             attack_cfg if attack_cfg is not None else AttackConfig(), attack
         )
 
-    k_init, k_train = jax.random.split(rng)
-    enc = init_encoder(k_init, mcfg.img_size, d_alpha, key_len, ecfg)
     tx = optax.adam(ecfg.lr)
-    opt_state = tx.init(enc)
 
     def render(k_step):
         ka, kb = jax.random.split(k_step)
@@ -211,9 +205,55 @@ def train_encoder(
         p = optax.apply_updates(p, updates)
         return (p, st), loss
 
+    (enc, opt_state), curve = jax.lax.scan(step, (enc, opt_state), keys)
+    return enc, opt_state, curve
+
+
+# Largest single-scan segment: the 1500-step program is the measured-good
+# envelope on the tunneled chip; a single 6000-step scan reproducibly
+# crashed the TPU worker (round-5), so longer budgets run as a host loop
+# re-dispatching the same chunk-sized executable (dispatch overhead
+# ~0.5s per segment — noise next to the training itself).
+_TRAIN_CHUNK = 1500
+
+
+def train_encoder(
+    rng: jax.Array,
+    gen_params: Params,
+    basis: FingerprintBasis,
+    noise: Tuple[jax.Array, ...],
+    *,
+    mcfg: ModelConfig,
+    ecfg: EncoderConfig = EncoderConfig(),
+    attack: str = "None",
+    attack_cfg=None,
+    steps_override: Optional[int] = None,
+) -> Tuple[Params, jax.Array]:
+    """Train the inverter on frozen-generator pairs.
+
+    Runs as fixed-size jitted ``lax.scan`` segments (``_train_chunk``)
+    with a host loop carrying (params, opt_state) across segments, so
+    any training budget reuses one compiled program.  Returns
+    ``(encoder_params, loss_curve[steps])``.
+    """
+    steps = int(steps_override) if steps_override is not None else ecfg.steps
+    d_alpha = basis.sigma_rest.shape[0]
+    key_len = basis.v_cap.shape[0]
+
+    k_init, k_train = jax.random.split(rng)
+    enc = init_encoder(k_init, mcfg.img_size, d_alpha, key_len, ecfg)
+    opt_state = optax.adam(ecfg.lr).init(enc)
+
     keys = jax.random.split(k_train, steps)
-    (enc, _), curve = jax.lax.scan(step, (enc, opt_state), keys)
-    return enc, curve
+    curves = []
+    for c0 in range(0, steps, _TRAIN_CHUNK):
+        seg = keys[c0 : c0 + _TRAIN_CHUNK]
+        enc, opt_state, curve = _train_chunk(
+            enc, opt_state, seg, gen_params, basis, noise,
+            mcfg=mcfg, ecfg=ecfg, attack=attack, attack_cfg=attack_cfg,
+        )
+        curves.append(curve)
+    return enc, jnp.concatenate(curves)
 
 
 def encoder_solve_init(

@@ -130,10 +130,32 @@ def _build_generate_fn(pipe: Pipeline):
     return fn
 
 
-def _build_attribute_fn(pipe: Pipeline, acfg: AttributionConfig):
-    """Batched attribution program: targets [B,H,W,3] -> decoded keys."""
+def _build_attribute_fn(
+    pipe: Pipeline,
+    acfg: AttributionConfig,
+    encoder_params=None,
+    encoder_jitter: float = 0.25,
+):
+    """Batched attribution program: targets [B,H,W,3] -> decoded keys.
+
+    With ``encoder_params`` (an amortized inverter from
+    ``fingerprint.encoder``), the restart initialization runs INSIDE the
+    bucket program: the encoder forward is a handful of small convs —
+    noise next to the 2000-step solve — and baking its weights into the
+    AOT executable keeps the dispatch path identical (same signature,
+    zero steady-state recompiles)."""
 
     def fn(gen_params, lpips_params, targets, rng):
+        kw = {}
+        if encoder_params is not None:
+            from ..fingerprint import encoder as enc_mod
+
+            k_init, rng = jax.random.split(rng)
+            a0, k0 = enc_mod.encoder_solve_init(
+                encoder_params, pipe.basis, targets, acfg.n_starts,
+                k_init, jitter=encoder_jitter,
+            )
+            kw = dict(alpha_init=a0, key_init=k0)
         res = attr_mod.attribute(
             gen_params,
             lpips_params,
@@ -146,6 +168,7 @@ def _build_attribute_fn(pipe: Pipeline, acfg: AttributionConfig):
             biggan_cfg=pipe.biggan_cfg,
             class_onehot=pipe.class_onehot,
             truncation=pipe.truncation,
+            **kw,
         )
         return res.key_bits, res.key_logits, res.loss, res.best_start
 
@@ -174,6 +197,8 @@ class InferenceEngine:
         mesh=None,
         shard_model: bool = False,
         registry=None,
+        encoder_params=None,
+        encoder_jitter: float = 0.25,
     ):
         if not cfg.buckets or list(cfg.buckets) != sorted(set(cfg.buckets)):
             raise ValueError(f"buckets must be ascending+unique: {cfg.buckets}")
@@ -198,7 +223,11 @@ class InferenceEngine:
         self.seed = seed
         self._gen_jit = jax.jit(_build_generate_fn(pipe))
         self._attr_jit = (
-            jax.jit(_build_attribute_fn(pipe, acfg)) if acfg is not None else None
+            jax.jit(_build_attribute_fn(
+                pipe, acfg, encoder_params=encoder_params,
+                encoder_jitter=encoder_jitter,
+            ))
+            if acfg is not None else None
         )
         self._exec: Dict[Tuple[str, int], Any] = {}  # AOT executables
         self._queues: Dict[str, collections.deque] = {

@@ -169,3 +169,25 @@ def test_attack_channel_training_compiles(pipe):
         attack="Blur",
     )
     assert np.isfinite(np.asarray(curve)).all()
+
+
+def test_chunked_training_is_chunk_size_invariant(pipe, monkeypatch):
+    """The host loop over jitted scan segments is bit-identical to a
+    single scan: same key sequence, same op order --- the chunk size is
+    purely an execution-envelope knob (a 6000-step single scan crashed
+    the TPU worker; see _TRAIN_CHUNK)."""
+    small = enc.EncoderConfig(width=16, max_width=16, head_dim=16,
+                              steps=10, batch=4)
+
+    def run(chunk):
+        monkeypatch.setattr(enc, "_TRAIN_CHUNK", chunk)
+        return enc.train_encoder(
+            jax.random.PRNGKey(5), pipe.gen_params, pipe.basis, pipe.noise,
+            mcfg=MCFG, ecfg=small,
+        )
+
+    p_one, c_one = run(16)   # single segment covers all 10 steps
+    p_4, c_4 = run(4)        # 4 + 4 + 2
+    np.testing.assert_array_equal(np.asarray(c_one), np.asarray(c_4))
+    for a, b in zip(jax.tree.leaves(p_one), jax.tree.leaves(p_4)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
