@@ -359,9 +359,10 @@ def cmd_encoderinit(args) -> int:
     round-4 diagnosis says kl=64 exact-match failures are wrong-basin
     failures, so replace the blind centered-LHS restart init (ref
     src/main.py:46-52) with a learned inverter's prediction plus a local
-    LHS cloud.  Rows re-solve the headline wall points (and the two
-    hardest attacked rows, with the encoder trained through the same
-    deterministic channel model) at the identical solver budget — the
+    LHS cloud.  Rows re-solve the headline wall points (and every
+    attacked operating point, with the encoder trained on the TRUE
+    stochastic channel — see _train_chunk's design note) at the
+    identical solver budget — the
     only delta is where the restart chains start.  Each record carries
     the encoder's own zero-step decode accuracy (``encoder_bit_acc``)
     and training wall time next to the solve results.
@@ -383,6 +384,12 @@ def cmd_encoderinit(args) -> int:
          {"key_len": 32, "sigma": 6.0, "attack": "Crop"}),
         ("64px_kl32_s6_Jpeg", mk,
          {"key_len": 32, "sigma": 6.0, "attack": "Jpeg"}),
+        ("64px_kl32_s6_Blur", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": "Blur"}),
+        ("64px_kl32_s6_Noise", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": "Noise"}),
+        ("64px_kl32_s6_Combination", mk,
+         {"key_len": 32, "sigma": 6.0, "attack": "Combination"}),
     ]
     specs = []
     for tag, mks, ek in points:

@@ -121,9 +121,9 @@ def identification_point(
     targets = np.asarray(jax.lax.stop_gradient(targets))
 
     # amortized encoder init (fingerprint/encoder.py): train the inverter
-    # through the same channel model the attack-aware solve uses and start
-    # every restart chain around its prediction --- measured better at
-    # every operating point (BASELINE round-5 encoderinit study)
+    # on the true stochastic attack channel and start every restart chain
+    # around its prediction --- measured better at every operating point
+    # (BASELINE round-5 encoderinit study)
     enc_meta: Dict[str, Any] = {}
     alpha_init = key_init = None
     if init == "encoder":

@@ -160,8 +160,9 @@ def eval_point(
         )
         # deployment semantics: the provider knows the channel it is
         # testing (same assumption as attack-aware solving), so the
-        # encoder trains through the deterministic channel model whenever
-        # the targets are attacked
+        # encoder trains through that channel's TRUE stochastic model
+        # whenever the targets are attacked (fingerprint/encoder.py
+        # _train_chunk's design note)
         k_enc, k_einit = jax.random.split(jax.random.fold_in(rng, 7))
         enc_params, enc_curve = enc_mod.train_encoder(
             k_enc, pipe.gen_params, basis, pipe.noise,

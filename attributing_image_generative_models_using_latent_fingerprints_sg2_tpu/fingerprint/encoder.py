@@ -154,26 +154,36 @@ def _train_chunk(
     embedding priors (alpha ~ sigma_rest * N(0,1) per src/main.py:122
     semantics; k ~ U{0,1}), renders the fingerprinted image with the
     pipeline's fixed noise, optionally pushes it through the
-    deterministic attack channel (``attacks.make_solver_attack`` — the
-    same channel model attack-aware solving uses), and regresses
-    (whitened alpha, key logits)."""
+    TRUE stochastic attack channel (``attacks.make_attack`` eval mode —
+    see the design note at the channel construction below), and
+    regresses (whitened alpha, key logits)."""
     d_alpha = basis.sigma_rest.shape[0]
     key_len = basis.v_cap.shape[0]
     nl = sg2.n_latent(mcfg.img_size)
 
-    solver_attack = None
+    # The TRUE (stochastic) channel, not the solver's deterministic
+    # differentiable model: the encoder never backprops through the
+    # channel (rendered pairs are stop_gradient inputs), so it can and
+    # must train on what attacked targets actually look like.  Measured
+    # failure of the alternative: training through make_solver_attack's
+    # Noise channel (= identity) left the encoder noise-blind and its
+    # init REGRESSED the Noise solve 0.947 -> 0.730 vs blind LHS.
+    atk = None
     if attack != "None":
-        from ..attacks import make_solver_attack
+        import dataclasses as _dc
+
+        from ..attacks import make_attack
         from ..config import AttackConfig
 
-        solver_attack = make_solver_attack(
-            attack_cfg if attack_cfg is not None else AttackConfig(), attack
+        cfg = attack_cfg if attack_cfg is not None else AttackConfig()
+        atk = make_attack(
+            _dc.replace(cfg, augmentation=attack), is_train=False
         )
 
     tx = optax.adam(ecfg.lr)
 
     def render(k_step):
-        ka, kb = jax.random.split(k_step)
+        ka, kb, kc = jax.random.split(k_step, 3)
         alpha = jax.random.normal(ka, (ecfg.batch, d_alpha)) * basis.sigma_rest
         bits = jax.random.randint(kb, (ecfg.batch, key_len), 0, 2).astype(
             jnp.float32
@@ -184,8 +194,8 @@ def _train_chunk(
             gen_params, wplus, noise, blur_kernel=mcfg.blur_kernel
         )
         imgs = jnp.clip(imgs.astype(jnp.float32), -1.0, 1.0)
-        if solver_attack is not None:
-            imgs = solver_attack(imgs)
+        if atk is not None:
+            imgs = atk(imgs, kc)
         return jax.lax.stop_gradient(imgs), alpha, bits
 
     def loss_fn(p, imgs, alpha, bits):
