@@ -66,8 +66,11 @@ def main(argv=None) -> int:
         help="--init encoder: supervised training steps for the inverter",
     )
     parser.add_argument(
-        "--encoder_batch", type=int, default=64,
-        help="--init encoder: rendered batch per training step",
+        "--encoder_batch", type=int, default=0,
+        help="--init encoder: rendered batch per training step; 0 = auto "
+        "(64 through 128px, scaled down above — a 64-image 256px render "
+        "inside the training scan exceeds the single-chip memory "
+        "envelope; scale --encoder_steps up to keep the sample count)",
     )
     parser.add_argument(
         "--encoder_jitter", type=float, default=0.25,
@@ -176,7 +179,10 @@ def main(argv=None) -> int:
 
         t0 = time.time()
         ecfg = enc_mod.EncoderConfig(
-            steps=args.encoder_steps, batch=args.encoder_batch,
+            steps=args.encoder_steps,
+            batch=args.encoder_batch or enc_mod.auto_batch(
+                cfg.model.img_size
+            ),
             jitter=args.encoder_jitter,
         )
         k_enc, k_einit = jax.random.split(jax.random.fold_in(key, 7))

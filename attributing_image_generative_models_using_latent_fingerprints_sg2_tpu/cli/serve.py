@@ -131,7 +131,8 @@ def main(argv=None) -> int:
             pipe.gen_params, pipe.basis, pipe.noise,
             mcfg=cfg.model,
             ecfg=enc_mod.EncoderConfig(
-                steps=args.encoder_steps, jitter=args.encoder_jitter
+                steps=args.encoder_steps, jitter=args.encoder_jitter,
+                batch=enc_mod.auto_batch(cfg.model.img_size),
             ),
         )
         print(f"[serve] encoder trained in {_time.time()-t0:.1f}s "

@@ -413,6 +413,19 @@ def cmd_encoderinit(args) -> int:
         specs.append((f"{tag}_enc6kj50", mks,
                       {**base, "encoder_steps": 6000, "encoder_jitter": 0.5}))
         specs.append((f"{tag}_enc24k", mks, {**base, "encoder_steps": 24000}))
+    # the reference's headline resolution (256px, src/params.py): blind
+    # vs saturated-budget encoder at kl=64, extending the measured
+    # resolution trend (64px ~0.94, 128px ~0.985)
+    mk256 = {"img_size": 256, "channel_max": 128, "train_steps": 3000}
+    specs.append(("256px_cm128_t3000_kl64_s6_lhs", mk256,
+                  {"key_len": 64, "sigma": 6.0}))
+    # batch 16 (not the 64 default): a 64-image 256px render inside the
+    # training scan crashed the TPU worker (same memory envelope
+    # _auto_chunk guards for solves); 4x the steps keeps the sample
+    # count at the measured 6000x64 saturation point
+    specs.append(("256px_cm128_t3000_kl64_s6_enc6k", mk256,
+                  {"key_len": 64, "sigma": 6.0, "init": "encoder",
+                   "encoder_steps": 24000, "encoder_batch": 16}))
     return _run_points(args, specs, "result/study_encoderinit.json")
 
 

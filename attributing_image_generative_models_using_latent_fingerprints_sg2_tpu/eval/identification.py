@@ -132,7 +132,10 @@ def identification_point(
         from ..fingerprint import encoder as enc_mod
 
         t_enc = _time.time()
-        ecfg = enc_mod.EncoderConfig(steps=encoder_steps, jitter=encoder_jitter)
+        ecfg = enc_mod.EncoderConfig(
+            steps=encoder_steps, jitter=encoder_jitter,
+            batch=enc_mod.auto_batch(pipe.mcfg.img_size),
+        )
         k_enc, k_einit = jax.random.split(jax.random.fold_in(rng, 7))
         enc_params, enc_curve = enc_mod.train_encoder(
             k_enc, pipe.gen_params, basis, pipe.noise,

@@ -106,7 +106,7 @@ def eval_point(
     prune_frac: float = 0.25,
     init: str = "lhs",
     encoder_steps: int = 1500,
-    encoder_batch: int = 64,
+    encoder_batch: int = 0,
     encoder_jitter: float = 0.25,
 ) -> Dict[str, Any]:
     """Embed ``samples`` keys, optionally attack the targets, invert, and
@@ -156,7 +156,9 @@ def eval_point(
 
         t_enc = _time.time()
         ecfg = enc_mod.EncoderConfig(
-            steps=encoder_steps, batch=encoder_batch, jitter=encoder_jitter
+            steps=encoder_steps,
+            batch=encoder_batch or enc_mod.auto_batch(pipe.mcfg.img_size),
+            jitter=encoder_jitter,
         )
         # deployment semantics: the provider knows the channel it is
         # testing (same assumption as attack-aware solving), so the
@@ -183,7 +185,7 @@ def eval_point(
         enc_meta = {
             "init": "encoder",
             "encoder_steps": encoder_steps,
-            "encoder_batch": encoder_batch,
+            "encoder_batch": ecfg.batch,
             "encoder_jitter": encoder_jitter,
             "encoder_bit_acc": float(enc_acc.mean()),
             "encoder_exact_k": int((enc_acc >= 1.0).sum()),

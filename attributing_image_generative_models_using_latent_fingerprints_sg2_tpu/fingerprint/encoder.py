@@ -58,6 +58,11 @@ class EncoderConfig:
     steps: int = 1500
     batch: int = 64
     lr: float = 2e-3
+    # global-norm gradient clip: measured necessity, not hygiene — the
+    # 6-stage 256px stack at batch 16 diverged without it (train loss
+    # 2.4e5, decode at chance, and the diverged init dragged the solve
+    # itself to chance 0.52 vs 0.86 blind)
+    grad_clip: float = 1.0
     key_loss_weight: float = 1.0
     jitter: float = 0.25
     logit_clip: float = 2.0
@@ -180,7 +185,9 @@ def _train_chunk(
             _dc.replace(cfg, augmentation=attack), is_train=False
         )
 
-    tx = optax.adam(ecfg.lr)
+    tx = optax.chain(
+        optax.clip_by_global_norm(ecfg.grad_clip), optax.adam(ecfg.lr)
+    )
 
     def render(k_step):
         ka, kb, kc = jax.random.split(k_step, 3)
@@ -227,6 +234,19 @@ def _train_chunk(
 _TRAIN_CHUNK = 1500
 
 
+def auto_batch(img_size: int) -> int:
+    """Memory-envelope default for ``EncoderConfig.batch``: a 64-image
+    render inside the training scan is measured-good through 128px but
+    crashed the TPU worker at 256px (same single-chip envelope
+    cli/study._auto_chunk guards for solves).  Holds batch x pixels at
+    the 128px/64 level; callers wanting a specific batch pass it
+    explicitly (and should scale steps inversely to keep the sample
+    count — the measured saturation point is ~6000 steps x batch 64)."""
+    if img_size <= 128:
+        return 64
+    return max(4, (64 * 128 * 128) // (img_size * img_size))
+
+
 def train_encoder(
     rng: jax.Array,
     gen_params: Params,
@@ -252,7 +272,9 @@ def train_encoder(
 
     k_init, k_train = jax.random.split(rng)
     enc = init_encoder(k_init, mcfg.img_size, d_alpha, key_len, ecfg)
-    opt_state = optax.adam(ecfg.lr).init(enc)
+    opt_state = optax.chain(
+        optax.clip_by_global_norm(ecfg.grad_clip), optax.adam(ecfg.lr)
+    ).init(enc)
 
     keys = jax.random.split(k_train, steps)
     curves = []
